@@ -1,38 +1,143 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship pipeline on /root/testdata/sf0.001.
+queries()     — one entry per implemented operator (SURVEY.md §2).
+oracle_sql()  — DuckDB-equivalent ANSI SQL per query (same column
+                names/aliases on both sides; omitted only for
+                genuinely non-SQL-expressible sketch estimates, which
+                get rows-only checks plus in-pytest tolerance tests).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dablooms_spark.operators import (  # noqa: E402
+    bloom_anti_join,
+    bloom_probe_column,
+    bloom_semi_join,
+    build_counting_bloom,
+    build_scaling_bloom,
+)
+from dablooms_spark.sources import load_table  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: bloom-accelerated exact semi join at sf0.001.
+
+    Build a counting bloom over the keys of active customers, use it
+    as a runtime filter on orders, exact-verify survivors — result is
+    exactly LEFT SEMI JOIN, with the big side pruned before any
+    shuffle (the pattern that matters at 100 TB)."""
+    sf_dir = "/root/testdata/sf0.001"
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    dim = customer.filter(F.col("c_acctbal") > 0).select(
+        F.col("c_custkey").cast("string").alias("ckey")
+    )
+    filt = build_counting_bloom(dim, "ckey", capacity=2000, error_rate=0.01)
+    probe = orders.withColumn("okey", F.col("o_custkey").cast("string"))
+    return bloom_semi_join(probe, "okey", filt, exact_df=dim, exact_key="ckey").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries / oracles
+# ---------------------------------------------------------------------------
+
+
+def _q_bloom_semi_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact semi join via bloom runtime filter + verification pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    dim = customer.filter(F.col("c_acctbal") > 0).select(
+        F.col("c_custkey").cast("string").alias("ckey")
+    )
+    filt = build_counting_bloom(dim, "ckey", capacity=5000, error_rate=0.01)
+    probe = orders.withColumn("okey", F.col("o_custkey").cast("string"))
+    return bloom_semi_join(probe, "okey", filt, exact_df=dim, exact_key="ckey").select(
+        "o_orderkey", "o_custkey"
+    )
+
+
+def _q_bloom_anti_join_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact anti join: lineitems whose part is NOT in the small-size
+    part dimension — bloom short-circuits definite negatives, exact
+    anti join runs only on candidates."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    dim = part.filter(F.col("p_size") <= 20).select(
+        F.col("p_partkey").cast("string").alias("pkey")
+    )
+    filt = build_counting_bloom(dim, "pkey", capacity=20000, error_rate=0.01)
+    probe = lineitem.withColumn("lkey", F.col("l_partkey").cast("string"))
+    return bloom_anti_join(probe, "lkey", filt, exact_df=dim, exact_key="pkey").select(
+        "l_orderkey", "l_linenumber", "l_partkey"
+    )
+
+
+def _q_scaling_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scaling-filter membership with exact verification: which events
+    keys from the second half of the stream were already seen in the
+    first half. Bloom answers are verified exactly so the result is
+    deterministic (the filter only prunes)."""
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "key", F.concat_ws(":", "user_id", "event_type")
+    )
+    n = events.count()
+    first_half = events.filter(F.col("event_id") < n // 2)
+    second_half = events.filter(F.col("event_id") >= n // 2)
+    filt = build_scaling_bloom(
+        first_half, "key", "event_id", capacity=1000, error_rate=0.02, num_shards=8
+    )
+    dim = first_half.select(F.col("key").alias("seen_key")).distinct()
+    return (
+        bloom_semi_join(second_half, "key", filt, exact_df=dim, exact_key="seen_key")
+        .select("event_id", "user_id", "event_type")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "bloom_semi_join_orders": _q_bloom_semi_join_orders,
+        "bloom_anti_join_lineitem": _q_bloom_anti_join_lineitem,
+        "scaling_bloom_membership": _q_scaling_bloom_membership,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "bloom_semi_join_orders": """
+            SELECT o_orderkey, o_custkey
+            FROM orders
+            WHERE o_custkey IN (
+                SELECT c_custkey FROM customer WHERE c_acctbal > 0
+            )
+        """,
+        "bloom_anti_join_lineitem": """
+            SELECT l_orderkey, l_linenumber, l_partkey
+            FROM lineitem
+            WHERE l_partkey NOT IN (
+                SELECT p_partkey FROM part WHERE p_size <= 20
+            )
+        """,
+        "scaling_bloom_membership": """
+            WITH n AS (SELECT count(*) AS c FROM events),
+            firsth AS (
+                SELECT DISTINCT user_id || ':' || event_type AS seen_key
+                FROM events, n WHERE event_id < n.c // 2
+            )
+            SELECT event_id, user_id, event_type
+            FROM events, n
+            WHERE event_id >= n.c // 2
+              AND (user_id || ':' || event_type) IN (SELECT seen_key FROM firsth)
+        """,
+    }

@@ -89,14 +89,20 @@ class ScalingBloom:
         build sorts within partitions upstream, mirroring the monotone
         insertion-sequence assumption of the reference).
         """
-        n = len(keys)
-        if n == 0:
+        if len(keys) == 0:
             return
         keys = np.asarray(keys, dtype=object)
+        h1, h2 = dablooms_hash_words(keys, self.seed)
+        self.add_hashed(h1, h2, ids)
+
+    def add_hashed(self, h1: np.ndarray, h2: np.ndarray, ids) -> None:
+        """Hash-precomputed variant (the Arrow zero-copy build path)."""
+        n = len(h1)
+        if n == 0:
+            return
         ids = np.asarray(ids, dtype=np.int64)
         if n > 1 and np.any(np.diff(ids) < 0):
             raise ValueError("ScalingBloom.add requires non-decreasing ids")
-        h1, h2 = dablooms_hash_words(keys, self.seed)
 
         # Historic rows (id <= max_id) route to their original layer and
         # never trigger growth (grow requires id > max_id, ≈L497).
@@ -127,12 +133,16 @@ class ScalingBloom:
 
     def remove(self, keys, ids) -> None:
         """Batch remove routed by id (scaling_bloom_remove ≈L517)."""
-        n = len(keys)
-        if n == 0:
+        if len(keys) == 0:
             return
         keys = np.asarray(keys, dtype=object)
-        ids = np.asarray(ids, dtype=np.int64)
         h1, h2 = dablooms_hash_words(keys, self.seed)
+        self.remove_hashed(h1, h2, ids)
+
+    def remove_hashed(self, h1: np.ndarray, h2: np.ndarray, ids) -> None:
+        if len(h1) == 0:
+            return
+        ids = np.asarray(ids, dtype=np.int64)
         tgt = self._route(ids)
         for li in np.unique(tgt):
             m = tgt == li
@@ -141,11 +151,16 @@ class ScalingBloom:
     def check(self, keys) -> np.ndarray:
         """Batch membership: OR across layers (scaling_bloom_check ≈L537).
         One murmur hash per key, re-expanded per layer geometry."""
-        n = len(keys)
-        if n == 0:
+        if len(keys) == 0:
             return np.empty(0, dtype=bool)
         keys = np.asarray(keys, dtype=object)
         h1, h2 = dablooms_hash_words(keys, self.seed)
+        return self.check_hashed(h1, h2)
+
+    def check_hashed(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        n = len(h1)
+        if n == 0:
+            return np.empty(0, dtype=bool)
         verdict = np.zeros(n, dtype=bool)
         # Newest layer first: at steady state most hits are recent, and
         # skipping already-positive rows saves index expansion work.

@@ -73,7 +73,7 @@ def _as_byte_buffer(keys) -> tuple[np.ndarray, np.ndarray]:
 
 
 def murmur3_x64_128(keys, seed: int = DABLOOMS_SEED) -> tuple[np.ndarray, np.ndarray]:
-    """Batch MurmurHash3_x64_128.
+    """Batch MurmurHash3_x64_128 over a list/array of bytes or str.
 
     Returns (out1, out2): the two uint64 words of each 128-bit hash,
     matching the canonical C output layout ((uint64_t*)out)[0|1].
@@ -83,9 +83,26 @@ def murmur3_x64_128(keys, seed: int = DABLOOMS_SEED) -> tuple[np.ndarray, np.nda
     if n == 0:
         e = np.empty(0, np.uint64)
         return e, e
-
     offsets = np.zeros(n, dtype=np.int64)
     np.cumsum(lengths[:-1], out=offsets[1:])
+    return murmur3_x64_128_buffer(buf, offsets, lengths, seed)
+
+
+def murmur3_x64_128_buffer(
+    buf: np.ndarray,
+    offsets: np.ndarray,
+    lengths: np.ndarray,
+    seed: int = DABLOOMS_SEED,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Batch MurmurHash3_x64_128 over a flat uint8 buffer with per-row
+    (offset, length) views — the zero-copy Arrow hot path: a pyarrow
+    string/binary column is exactly this layout, so the Spark-side
+    kernels never materialize per-row Python objects.
+    """
+    n = len(lengths)
+    if n == 0:
+        e = np.empty(0, np.uint64)
+        return e, e
     nblocks = lengths >> 4
 
     with np.errstate(over="ignore"):
@@ -240,6 +257,21 @@ def dablooms_hash_words(keys, seed: int = DABLOOMS_SEED) -> tuple[np.ndarray, np
     the first uint64 output word.
     """
     out1, _ = murmur3_x64_128(keys, seed)
+    return _split_words(out1)
+
+
+def dablooms_hash_words_buffer(
+    buf: np.ndarray,
+    offsets: np.ndarray,
+    lengths: np.ndarray,
+    seed: int = DABLOOMS_SEED,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-copy-buffer variant of :func:`dablooms_hash_words`."""
+    out1, _ = murmur3_x64_128_buffer(buf, offsets, lengths, seed)
+    return _split_words(out1)
+
+
+def _split_words(out1: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     h1 = out1.astype(np.uint32)  # low 32 bits
     h2 = (out1 >> np.uint64(32)).astype(np.uint32)  # high 32 bits
     return h1, h2

@@ -1,0 +1,142 @@
+"""Bloom probe — the read path, broadcast to every probe task.
+
+Spark equivalent of scaling_bloom_check / counting_bloom_check
+(src/dablooms.c:≈537/≈238): the merged filter blob is broadcast once;
+probe batches gain a Boolean verdict column via a vectorized Arrow
+UDF. A filter sized for 10^8 keys at ε=0.01 is ~100 MB of nibbles —
+broadcastable; bigger corpora shard the filter by key range and probe
+joins on the range (future work, see plans/).
+
+`bloom_semi_join` is the runtime-filter pattern: probe → filter →
+(optionally) exact semi-join the surviving candidates. With exact
+verification the result is exactly LEFT SEMI JOIN — the bloom only
+prunes the shuffle — which at 100 TB is the point: the big side never
+shuffles rows the filter already rejected, and the bloom has no false
+negatives so no row is lost.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyarrow as pa
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from dablooms_spark.functions.arrow_utils import arrow_byte_view
+from dablooms_spark.functions.murmur import DABLOOMS_SEED, dablooms_hash_words_buffer
+
+# Per-executor deserialized-filter cache: the broadcast ships bytes;
+# each Python worker deserializes once per filter, not once per batch.
+_FILTER_CACHE: dict[int, object] = {}
+
+
+def _get_filter(blob: bytes, seed: int):
+    key = hash(blob[:64] + blob[-64:] + len(blob).to_bytes(8, "little"))
+    filt = _FILTER_CACHE.get(key)
+    if filt is None:
+        from dablooms_spark.operators.bloom_build import _loads
+
+        filt = _loads(blob, seed)
+        if len(_FILTER_CACHE) > 8:
+            _FILTER_CACHE.clear()
+        _FILTER_CACHE[key] = filt
+    return filt
+
+
+def _check_series(series: pd.Series, blob: bytes, seed: int) -> pd.Series:
+    filt = _get_filter(blob, seed)
+    arr = pa.array(series, type=pa.large_string())
+    buf, offs, lens = arrow_byte_view(arr)
+    h1, h2 = dablooms_hash_words_buffer(buf, offs, lens, seed)
+    verdict = filt.check_hashed(h1, h2)
+    if arr.null_count:
+        # a NULL key is definitively not a member (it would otherwise
+        # alias the empty string and could false-positive)
+        verdict &= ~pa.compute.is_null(arr).to_numpy(zero_copy_only=False)
+    return pd.Series(verdict)
+
+
+def bloom_probe_udf(spark, bloom, seed: int = DABLOOMS_SEED):
+    """A reusable pandas UDF closing over the broadcast filter."""
+    bc = spark.sparkContext.broadcast(bloom.to_bytes())
+
+    @pandas_udf("boolean")
+    def probe(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        blob = bc.value
+        for series in it:
+            yield _check_series(series, blob, seed)
+
+    return probe
+
+
+def bloom_probe_column(
+    df: DataFrame,
+    key_col: str | Column,
+    bloom,
+    out_col: str = "is_member",
+    seed: int = DABLOOMS_SEED,
+) -> DataFrame:
+    """Append a Boolean membership column (no false negatives; false
+    positives ≤ the filter's configured bound)."""
+    probe = bloom_probe_udf(df.sparkSession, bloom, seed)
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    return df.withColumn(out_col, probe(key.cast("string")))
+
+
+def bloom_semi_join(
+    probe_df: DataFrame,
+    key_col: str,
+    bloom,
+    exact_df: DataFrame | None = None,
+    exact_key: str | None = None,
+    seed: int = DABLOOMS_SEED,
+) -> DataFrame:
+    """probe_df rows whose key the filter reports present.
+
+    With `exact_df`, surviving candidates are confirmed by a real
+    LEFT SEMI join — exact results, bloom-pruned shuffle.
+    """
+    out = bloom_probe_column(probe_df, key_col, bloom, "__bloom_hit", seed)
+    out = out.filter(F.col("__bloom_hit")).drop("__bloom_hit")
+    if exact_df is not None:
+        ek = exact_key or key_col
+        out = out.join(
+            exact_df.select(F.col(ek).alias("__ek")).distinct(),
+            on=F.col(key_col) == F.col("__ek"),
+            how="left_semi",
+        )
+    return out
+
+
+def bloom_anti_join(
+    probe_df: DataFrame,
+    key_col: str,
+    bloom,
+    exact_df: DataFrame | None = None,
+    exact_key: str | None = None,
+    seed: int = DABLOOMS_SEED,
+) -> DataFrame:
+    """Without `exact_df`: probe_df rows the filter reports ABSENT —
+    guaranteed true negatives (the bloom invariant: no false negatives
+    ⇒ a 'not present' verdict is definite), but false positives drop
+    some genuinely-absent rows.
+
+    With `exact_df`: exact LEFT ANTI JOIN semantics — bloom-misses pass
+    straight through (definite negatives, no join work), and only the
+    small bloom-hit candidate set pays for an exact anti join. At scale
+    the expensive join runs on ~|dim| + ε·|probe| rows instead of all
+    of probe_df."""
+    out = bloom_probe_column(probe_df, key_col, bloom, "__bloom_hit", seed)
+    misses = out.filter(~F.col("__bloom_hit")).drop("__bloom_hit")
+    if exact_df is None:
+        return misses
+    ek = exact_key or key_col
+    dim = exact_df.select(F.col(ek).alias("__ek")).distinct()
+    candidates = out.filter(F.col("__bloom_hit")).drop("__bloom_hit")
+    confirmed_absent = candidates.join(
+        dim, on=F.col(key_col) == F.col("__ek"), how="left_anti"
+    )
+    return misses.unionByName(confirmed_absent)

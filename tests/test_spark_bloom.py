@@ -1,0 +1,152 @@
+"""Spark-side bloom operator tests: distributed build/probe end-to-end
+on driver testdata + synthetic webpages (SURVEY.md §5.2.2/§5.2.3).
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dablooms_spark.core import CountingBloom
+from dablooms_spark.operators import (
+    bloom_anti_join,
+    bloom_probe_column,
+    bloom_semi_join,
+    build_counting_bloom,
+    build_scaling_bloom,
+)
+from dablooms_spark.sources import load_table, synth_webpages
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def test_distributed_counting_build_matches_local(spark, docs):
+    filt = build_counting_bloom(docs, "text", capacity=600, error_rate=0.05)
+    texts = [r.text.encode() for r in docs.select("text").collect()]
+    local = CountingBloom(600, 0.05)
+    local.add(texts)
+    assert filt.to_bytes() == local.to_bytes(), "distributed != single-node build"
+    assert filt.count == len(texts)
+
+
+def test_probe_column_no_false_negatives(spark, docs):
+    filt = build_counting_bloom(docs, "text", capacity=600, error_rate=0.05)
+    probed = bloom_probe_column(docs, "text", filt)
+    assert probed.filter(~F.col("is_member")).count() == 0
+
+
+def test_probe_fp_bounded(spark, docs):
+    filt = build_counting_bloom(docs, "text", capacity=600, error_rate=0.01)
+    absent = spark.range(5000).select(
+        F.concat(F.lit("absent-"), F.col("id").cast("string")).alias("key")
+    )
+    hits = bloom_probe_column(absent, "key", filt).filter("is_member").count()
+    assert hits / 5000 <= 0.02
+
+
+def test_bloom_semi_join_exact(spark, sf_dir):
+    """Runtime-filter pattern: bloom-pruned + exact-verified semi join
+    must equal plain LEFT SEMI JOIN exactly."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    # filter: customers with acctbal > 0; probe orders against them
+    dim = customer.filter("c_acctbal > 0").select(
+        F.col("c_custkey").cast("string").alias("ckey")
+    )
+    filt = build_counting_bloom(dim, "ckey", capacity=1000, error_rate=0.01)
+    probe = orders.withColumn("okey", F.col("o_custkey").cast("string"))
+    got = bloom_semi_join(probe, "okey", filt, exact_df=dim, exact_key="ckey")
+    expected = probe.join(dim, probe.okey == dim.ckey, "left_semi")
+    assert got.count() == expected.count()
+    assert got.select(F.sum("o_orderkey")).first()[0] == (
+        expected.select(F.sum("o_orderkey")).first()[0]
+    )
+
+
+def test_bloom_anti_join_true_negatives(spark, docs):
+    filt = build_counting_bloom(docs, "text", capacity=600, error_rate=0.05)
+    mixed = docs.select(F.col("text").alias("key")).union(
+        docs.sparkSession.range(500).select(
+            F.concat(F.lit("new-key-"), F.col("id").cast("string")).alias("key")
+        )
+    )
+    nonmembers = bloom_anti_join(mixed, "key", filt)
+    # every reported non-member must genuinely be absent from the corpus
+    overlap = nonmembers.join(
+        docs.select(F.col("text").alias("key")), "key", "left_semi"
+    ).count()
+    assert overlap == 0
+
+
+def test_scaling_build_on_events(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    filt = build_scaling_bloom(
+        events.withColumn("key", F.concat_ws(":", "user_id", "event_type")),
+        "key",
+        "event_id",
+        capacity=200,
+        error_rate=0.05,
+        num_shards=4,
+    )
+    assert filt.count == events.count()
+    assert len(filt.layers) >= 2  # growth happened
+    probed = bloom_probe_column(
+        events.withColumn("key", F.concat_ws(":", "user_id", "event_type")),
+        "key",
+        filt,
+    )
+    assert probed.filter(~F.col("is_member")).count() == 0
+
+
+def test_scaling_build_deterministic_across_shard_counts_fp(spark, sf_dir):
+    """Different shard counts give different filters but both honor the
+    compound FP bound and zero FN."""
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "key", F.col("event_id").cast("string")
+    )
+    absent = spark.range(4000).select(
+        F.concat(F.lit("nope-"), F.col("id").cast("string")).alias("key")
+    )
+    for shards in (2, 8):
+        filt = build_scaling_bloom(
+            events, "key", "event_id", capacity=300, error_rate=0.05, num_shards=shards
+        )
+        fn = bloom_probe_column(events, "key", filt).filter("NOT is_member").count()
+        assert fn == 0
+        fp = bloom_probe_column(absent, "key", filt).filter("is_member").count()
+        assert fp / 4000 <= 0.05 * 1.2
+
+
+def test_synth_webpages_shape_and_skew(spark):
+    wp = synth_webpages(spark, n_rows=20_000, partitions=8)
+    assert wp.columns == ["url", "warc_ts", "html", "text", "lang", "row_id"]
+    assert wp.count() == 20_000
+    top = (
+        wp.groupBy(F.regexp_extract("url", r"https://([^/]+)/", 1).alias("host"))
+        .count()
+        .orderBy(F.desc("count"))
+        .first()
+    )
+    assert top["count"] > 20_000 * 0.05, "expected heavy host skew"
+    # byte-identical text invariant: html embeds text exactly
+    bad = wp.filter(
+        F.decode("html", "utf-8") != F.concat(F.lit("<html><body>"), "text", F.lit("</body></html>"))
+    ).count()
+    assert bad == 0
+
+
+def test_webpages_bloom_end_to_end(spark):
+    wp = synth_webpages(spark, n_rows=30_000, partitions=8)
+    filt = build_scaling_bloom(
+        wp, "url", "row_id", capacity=5_000, error_rate=0.05, num_shards=8
+    )
+    assert len(filt.layers) >= 6
+    fn = bloom_probe_column(wp, "url", filt).filter("NOT is_member").count()
+    assert fn == 0
+    absent = spark.range(10_000).select(
+        F.concat(F.lit("https://unseen.example.com/"), F.col("id")).alias("url")
+    )
+    fp = bloom_probe_column(absent, "url", filt).filter("is_member").count()
+    assert fp / 10_000 <= 0.05 * 1.2

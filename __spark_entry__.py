@@ -105,11 +105,60 @@ def _q_scaling_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_frequent_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters via pigeonhole candidates + CMS prune +
+    exact recount (operators.sketch_agg.frequent_keys)."""
+    from dablooms_spark.operators.sketch_agg import frequent_keys
+
+    events = load_table(spark, sf_dir, "events")
+    return frequent_keys(events, "user_id", min_count=30)
+
+
+def _q_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped distinct (grounds the HLL estimate query below)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy(F.col("event_type").cast("string").alias("event_type")).agg(
+        F.countDistinct("user_id").alias("distinct_users")
+    )
+
+
+def _q_hll_distinct_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL estimate per group — approximate, rows-only driver check;
+    accuracy vs exact is asserted in pytest within the published bound."""
+    from dablooms_spark.operators.sketch_agg import approx_distinct_by
+
+    events = load_table(spark, sf_dir, "events")
+    return approx_distinct_by(events, "event_type", "user_id", p=14)
+
+
+def _q_value_quantiles_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-digest per-group quantiles — approximate, rows-only check."""
+    from dablooms_spark.operators.sketch_agg import quantiles_by
+
+    events = load_table(spark, sf_dir, "events")
+    return quantiles_by(
+        events, "event_type", "value", [0.25, 0.5, 0.75, 0.99], kind="tdigest"
+    )
+
+
+def _q_value_quantiles_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL per-group quantiles — approximate, rows-only check."""
+    from dablooms_spark.operators.sketch_agg import quantiles_by
+
+    events = load_table(spark, sf_dir, "events")
+    return quantiles_by(events, "event_type", "value", [0.5, 0.9], kind="kll", k=200)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bloom_semi_join_orders": _q_bloom_semi_join_orders,
         "bloom_anti_join_lineitem": _q_bloom_anti_join_lineitem,
         "scaling_bloom_membership": _q_scaling_bloom_membership,
+        "frequent_users_events": _q_frequent_users,
+        "distinct_users_by_type": _q_distinct_users_by_type,
+        "hll_distinct_by_type": _q_hll_distinct_by_type,
+        "value_quantiles_tdigest": _q_value_quantiles_tdigest,
+        "value_quantiles_kll": _q_value_quantiles_kll,
     }
 
 
@@ -140,4 +189,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE event_id >= n.c // 2
               AND (user_id || ':' || event_type) IN (SELECT seen_key FROM firsth)
         """,
+        "frequent_users_events": """
+            SELECT CAST(user_id AS VARCHAR) AS user_id, count(*) AS cnt
+            FROM events
+            GROUP BY user_id
+            HAVING count(*) >= 30
+        """,
+        "distinct_users_by_type": """
+            SELECT CAST(event_type AS VARCHAR) AS event_type,
+                   count(DISTINCT user_id) AS distinct_users
+            FROM events
+            GROUP BY event_type
+        """,
+        # hll_distinct_by_type / value_quantiles_* are approximate by
+        # design → rows-only driver checks; pytest asserts accuracy
+        # within each sketch's published error bound.
     }

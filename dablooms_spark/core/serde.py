@@ -1,0 +1,38 @@
+"""Magic-dispatching sketch deserializer — all blobs self-describe."""
+
+from __future__ import annotations
+
+from dablooms_spark.core.cms import CountMinSketch
+from dablooms_spark.core.counting_bloom import CountingBloom
+from dablooms_spark.core.hll import HyperLogLog
+from dablooms_spark.core.kll import KLLSketch
+from dablooms_spark.core.scaling_bloom import ScalingBloom
+from dablooms_spark.core.tdigest import TDigest
+from dablooms_spark.functions.murmur import DABLOOMS_SEED
+
+_BY_MAGIC = {
+    b"DBSK": "counting_bloom",
+    b"DBSC": "scaling_bloom",
+    b"DBHL": "hll",
+    b"DBCM": "cms",
+    b"DBTD": "tdigest",
+    b"DBKL": "kll",
+}
+
+
+def loads(blob: bytes, seed: int = DABLOOMS_SEED):
+    magic = bytes(blob[:4])
+    kind = _BY_MAGIC.get(magic)
+    if kind == "counting_bloom":
+        return CountingBloom.from_bytes(bytes(blob), seed=seed)
+    if kind == "scaling_bloom":
+        return ScalingBloom.from_bytes(bytes(blob), seed=seed)
+    if kind == "hll":
+        return HyperLogLog.from_bytes(bytes(blob))
+    if kind == "cms":
+        return CountMinSketch.from_bytes(bytes(blob))
+    if kind == "tdigest":
+        return TDigest.from_bytes(bytes(blob))
+    if kind == "kll":
+        return KLLSketch.from_bytes(bytes(blob))
+    raise ValueError(f"unknown sketch blob magic {magic!r}")

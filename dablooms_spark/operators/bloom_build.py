@@ -41,12 +41,9 @@ _BLOB_SCHEMA_PA = pa.schema(
 
 def _loads(blob: bytes, seed: int):
     """Kind-dispatching deserializer (blobs are self-describing)."""
-    magic = bytes(blob[:4])
-    if magic == b"DBSK":
-        return CountingBloom.from_bytes(bytes(blob), seed=seed)
-    if magic == b"DBSC":
-        return ScalingBloom.from_bytes(bytes(blob), seed=seed)
-    raise ValueError(f"unknown sketch blob magic {magic!r}")
+    from dablooms_spark.core.serde import loads
+
+    return loads(blob, seed=seed)
 
 
 def _tree_merge(blob_df: DataFrame, seed: int, fanin: int, collect_threshold: int = 256):

@@ -1,0 +1,288 @@
+"""Generic two-phase sketch aggregation (SURVEY.md §4.2).
+
+`applyInPandas` alone would shuffle raw rows (all the text bytes!) to
+one task per group. Instead every sketch here aggregates in two
+phases, the same shape Catalyst uses for its own partial aggregates:
+
+  phase 1 — mapInArrow over input partitions: one partial sketch per
+      (partition[, group]) updated from zero-copy Arrow buffers; only
+      small blobs leave the task.
+  phase 2 — tree merge of blobs (global) or a groupBy over blobs
+      (grouped): the shuffle moves kilobytes per group, never rows.
+
+All sketch classes share the same surface (add/add_buffer, merge,
+to_bytes/from_bytes), so one operator serves Bloom/HLL/CMS/t-digest/
+KLL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dablooms_spark.core.cms import CountMinSketch
+from dablooms_spark.core.hll import HyperLogLog
+from dablooms_spark.core.kll import KLLSketch
+from dablooms_spark.core.tdigest import TDigest
+from dablooms_spark.functions.arrow_utils import arrow_byte_view
+from dablooms_spark.operators.bloom_build import _tree_merge
+
+_KINDS = {
+    "hll": (HyperLogLog, "string"),
+    "cms": (CountMinSketch, "string"),
+    "tdigest": (TDigest, "numeric"),
+    "kll": (KLLSketch, "numeric"),
+}
+
+
+def _make(kind: str, params: dict):
+    cls, mode = _KINDS[kind]
+    return cls(**params), mode
+
+
+def _loads_any(blob: bytes):
+    from dablooms_spark.core.serde import loads
+
+    return loads(bytes(blob))
+
+
+def _update_from_arrow(sketch, mode: str, col: pa.Array) -> None:
+    if mode == "string":
+        buf, offs, lens = arrow_byte_view(col)
+        sketch.add_buffer(buf, offs, lens)
+    else:
+        v = col.to_numpy(zero_copy_only=False).astype(np.float64)
+        sketch.add(v)
+
+
+def sketch_agg(df: DataFrame, col: str, kind: str, **params):
+    """Aggregate one column into a single driver-side sketch object.
+
+    String sketches (hll, cms) hash the column's UTF-8 bytes; numeric
+    sketches (tdigest, kll) consume doubles. NULLs are skipped.
+    """
+    _, mode = _KINDS[kind]
+    cast = "string" if mode == "string" else "double"
+    sdf = df.select(F.col(col).cast(cast).alias("v")).filter(F.col("v").isNotNull())
+
+    def build(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from pyspark import TaskContext
+
+        sk, mode_ = _make(kind, params)
+        shard = TaskContext.get().partitionId() if TaskContext.get() else 0
+        n = 0
+        for batch in batches:
+            _update_from_arrow(sk, mode_, batch.column(0))
+            n += batch.num_rows
+        if n:
+            yield pa.RecordBatch.from_pydict(
+                {"shard": [shard], "blob": [sk.to_bytes()], "n": [n]},
+                schema=pa.schema(
+                    [("shard", pa.int64()), ("blob", pa.large_binary()), ("n", pa.int64())]
+                ),
+            )
+
+    blob_df = sdf.mapInArrow(build, schema="shard long, blob binary, n long")
+    # _tree_merge dispatches via blob magic; give it our deserializer
+    sk, _n = _tree_merge(blob_df, seed=0, fanin=64)
+    if sk is None:
+        sk, _ = _make(kind, params)
+    return sk
+
+
+def grouped_sketch_agg(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    kind: str,
+    **params,
+) -> DataFrame:
+    """One sketch blob per group: DataFrame(group string, blob binary,
+    n long). Phase 1 holds a dict of per-group partial sketches per
+    partition (map-side combine); phase 2 shuffles only blobs."""
+    _, mode = _KINDS[kind]
+    cast = "string" if mode == "string" else "double"
+    sdf = df.select(
+        F.col(group_col).cast("string").alias("g"),
+        F.col(value_col).cast(cast).alias("v"),
+    ).filter(F.col("v").isNotNull() & F.col("g").isNotNull())
+
+    def build(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        sketches: dict[str, object] = {}
+        counts: dict[str, int] = {}
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            # partition batch rows by group using Arrow-side dictionary
+            # encoding (no per-row Python): sort indices by group code
+            g = batch.column(0)
+            codes = pa.compute.dictionary_encode(g)
+            idx = pa.compute.sort_indices(codes.indices)
+            sorted_tbl = tbl.take(idx)
+            sorted_codes = codes.indices.take(idx).to_numpy(zero_copy_only=False)
+            dict_vals = codes.dictionary.to_pylist()
+            bounds = np.searchsorted(
+                sorted_codes, np.arange(len(dict_vals) + 1), side="left"
+            )
+            vcol = sorted_tbl.column(1).combine_chunks()
+            for gi, gname in enumerate(dict_vals):
+                lo, hi = int(bounds[gi]), int(bounds[gi + 1])
+                if lo == hi:
+                    continue
+                sk = sketches.get(gname)
+                if sk is None:
+                    sk, _m = _make(kind, params)
+                    sketches[gname] = sk
+                    counts[gname] = 0
+                _update_from_arrow(sk, mode, vcol.slice(lo, hi - lo))
+                counts[gname] += hi - lo
+        if sketches:
+            names = list(sketches)
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "g": names,
+                    "blob": [sketches[n].to_bytes() for n in names],
+                    "n": [counts[n] for n in names],
+                },
+                schema=pa.schema(
+                    [("g", pa.large_string()), ("blob", pa.large_binary()), ("n", pa.int64())]
+                ),
+            )
+
+    partials = sdf.mapInArrow(build, schema="g string, blob binary, n long")
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = _loads_any(pdf.blob.iloc[0])
+        for b in pdf.blob.iloc[1:]:
+            sk = sk.merge(_loads_any(b))
+        return pd.DataFrame(
+            {"g": [pdf.g.iloc[0]], "blob": [sk.to_bytes()], "n": [int(pdf.n.sum())]}
+        )
+
+    return (
+        partials.groupBy("g")
+        .applyInPandas(merge_group, schema="g string, blob binary, n long")
+        .withColumnRenamed("g", group_col)
+    )
+
+
+# ---------------------------------------------------------------------------
+# High-level estimates
+# ---------------------------------------------------------------------------
+
+
+def approx_distinct_by(
+    df: DataFrame, group_col: str, key_col: str, p: int = 14
+) -> DataFrame:
+    """HLL distinct-count per group: (group, approx_distinct long)."""
+    blobs = grouped_sketch_agg(df, group_col, key_col, "hll", p=p)
+
+    def estimate(pdf: pd.DataFrame) -> pd.DataFrame:
+        ests = [
+            int(round(HyperLogLog.from_bytes(b).estimate())) for b in pdf.blob
+        ]
+        return pd.DataFrame({group_col: pdf[group_col], "approx_distinct": ests})
+
+    return blobs.groupBy(group_col).applyInPandas(
+        estimate, schema=f"{group_col} string, approx_distinct long"
+    )
+
+
+def quantiles_by(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    quantiles: list[float],
+    kind: str = "tdigest",
+    **params,
+) -> DataFrame:
+    """Per-group quantile estimates: (group, q double, value double)."""
+    assert kind in ("tdigest", "kll")
+    blobs = grouped_sketch_agg(df, group_col, value_col, kind, **params)
+    cls = TDigest if kind == "tdigest" else KLLSketch
+    qs = list(quantiles)
+
+    def estimate(pdf: pd.DataFrame) -> pd.DataFrame:
+        out_g, out_q, out_v = [], [], []
+        for g, b in zip(pdf[group_col], pdf.blob):
+            sk = cls.from_bytes(b)
+            vals = sk.quantile(qs)
+            out_g.extend([g] * len(qs))
+            out_q.extend(qs)
+            out_v.extend(float(v) for v in vals)
+        return pd.DataFrame({group_col: out_g, "q": out_q, "value": out_v})
+
+    return blobs.groupBy(group_col).applyInPandas(
+        estimate, schema=f"{group_col} string, q double, value double"
+    )
+
+
+def frequent_keys(
+    df: DataFrame,
+    key_col: str,
+    min_count: int,
+    cms_eps: float = 1e-4,
+    cms_delta: float = 0.01,
+) -> DataFrame:
+    """EXACT distributed heavy hitters: all keys with count >= min_count.
+
+    Three-stage runtime-filter composition, provably exact:
+      1. pigeonhole candidates — a key with global count >= T must have
+         local count >= T/P in at least one of P partitions, so the
+         union of per-partition keys with local count >= T/P is a
+         superset of the answer (computed map-side, no row shuffle);
+      2. CMS prune — a global count-min sketch never underestimates, so
+         dropping candidates with CMS estimate < T is safe and cheap;
+      3. exact recount of the surviving (small) candidate set via a
+         broadcast semi join + groupBy.
+    """
+    spark = df.sparkSession
+    sdf = df.select(F.col(key_col).cast("string").alias("k")).filter(
+        F.col("k").isNotNull()
+    )
+    sdf = sdf.persist()
+    num_parts = sdf.rdd.getNumPartitions() or 1
+    local_threshold = max(1, min_count // num_parts)
+
+    def local_candidates(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        acc: dict = {}
+        for batch in batches:
+            vc = pa.compute.value_counts(batch.column(0))
+            ks = vc.field("values").to_pylist()
+            cs = vc.field("counts").to_numpy(zero_copy_only=False)
+            for kk, cc in zip(ks, cs):
+                acc[kk] = acc.get(kk, 0) + int(cc)
+        cands = [k for k, c in acc.items() if c >= local_threshold]
+        if cands:
+            yield pa.RecordBatch.from_pydict(
+                {"k": cands}, schema=pa.schema([("k", pa.large_string())])
+            )
+
+    candidates = sdf.mapInArrow(local_candidates, schema="k string").distinct()
+
+    cms = sketch_agg(sdf, "k", "cms", eps=cms_eps, delta=cms_delta)
+    cand_rows = [r.k for r in candidates.collect()]
+    if not cand_rows:
+        sdf.unpersist()
+        return spark.createDataFrame([], schema=f"{key_col} string, cnt long")
+    est = cms.query(cand_rows)
+    survivors = [k for k, e in zip(cand_rows, est) if int(e) >= min_count]
+    if not survivors:
+        sdf.unpersist()
+        return spark.createDataFrame([], schema=f"{key_col} string, cnt long")
+    surv_df = spark.createDataFrame([(s,) for s in survivors], ["k"])
+    out = (
+        sdf.join(F.broadcast(surv_df), "k", "left_semi")
+        .groupBy("k")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .withColumnRenamed("k", key_col)
+    )
+    result = out.persist()
+    result.count()
+    sdf.unpersist()
+    return result

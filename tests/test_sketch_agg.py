@@ -1,0 +1,98 @@
+"""Spark two-phase sketch aggregation tests: estimates vs exact Spark
+answers on driver testdata; the exact heavy-hitter composition."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dablooms_spark.operators.sketch_agg import (
+    approx_distinct_by,
+    frequent_keys,
+    grouped_sketch_agg,
+    quantiles_by,
+    sketch_agg,
+)
+from dablooms_spark.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+def test_global_hll_vs_exact(spark, events):
+    h = sketch_agg(events, "user_id", "hll", p=14)
+    exact = events.select(F.countDistinct("user_id")).first()[0]
+    assert abs(h.estimate() - exact) / exact < 0.05
+
+
+def test_global_cms_point_queries(spark, events):
+    cms = sketch_agg(events, "event_type", "cms", eps=1e-4, delta=0.01)
+    exact = dict(
+        events.groupBy("event_type").count().rdd.map(tuple).collect()
+    )
+    for et, cnt in exact.items():
+        est = int(cms.query([et.encode()])[0])
+        assert est >= cnt
+        assert est <= cnt + int(1e-4 * cms.total) + 1
+
+
+def test_global_tdigest_vs_exact_quantiles(spark, events):
+    td = sketch_agg(events, "value", "tdigest", delta=200)
+    vals = [r[0] for r in events.select("value").filter("value is not null").collect()]
+    import numpy as np
+
+    arr = np.array(vals)
+    for q in (0.1, 0.5, 0.9):
+        est = float(td.quantile(q)[0])
+        rank = float(np.mean(arr <= est))
+        assert abs(rank - q) < 0.03
+
+
+def test_grouped_hll_per_event_type(spark, events):
+    got = {
+        r["event_type"]: r["approx_distinct"]
+        for r in approx_distinct_by(events, "event_type", "user_id", p=14).collect()
+    }
+    exact = {
+        r["event_type"]: r["d"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k in exact:
+        assert abs(got[k] - exact[k]) / max(exact[k], 1) < 0.05, k
+
+
+def test_grouped_quantiles_kll(spark, events):
+    got = quantiles_by(events, "event_type", "value", [0.5], kind="kll", k=200)
+    rows = got.collect()
+    assert len(rows) == events.select("event_type").distinct().count()
+    exact = {
+        r["event_type"]: r["m"]
+        for r in events.groupBy("event_type")
+        .agg(F.expr("percentile(value, 0.5)").alias("m"))
+        .collect()
+    }
+    for r in rows:
+        assert r["value"] == pytest.approx(exact[r["event_type"]], rel=0.15)
+
+
+def test_frequent_keys_exact(spark, events):
+    min_count = 30
+    got = frequent_keys(events, "user_id", min_count)
+    exact = (
+        events.groupBy(F.col("user_id").cast("string").alias("user_id"))
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+    g = {(r.user_id, r.cnt) for r in got.collect()}
+    e = {(r.user_id, r.cnt) for r in exact.collect()}
+    assert g == e, f"missing={e - g} extra={g - e}"
+
+
+def test_grouped_blob_counts(spark, events):
+    blobs = grouped_sketch_agg(events, "event_type", "user_id", "hll", p=10)
+    rows = blobs.collect()
+    total = sum(r.n for r in rows)
+    assert total == events.filter("user_id is not null").count()

@@ -1,0 +1,209 @@
+"""Companion-sketch core tests: accuracy vs exact answers, merge-order
+invariance (north_rule), serde round-trips (SURVEY.md §2.3/§5.2.3).
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+from dablooms_spark.core import CountMinSketch, HyperLogLog, KLLSketch, TDigest
+
+
+# ---- HLL -----------------------------------------------------------------
+
+
+def test_hll_accuracy():
+    for n in (100, 5_000, 200_000):
+        h = HyperLogLog(p=14)
+        h.add([f"key-{i}".encode() for i in range(n)])
+        est = h.estimate()
+        # standard error ~1.04/sqrt(2^14) ≈ 0.8%; allow 4 sigma
+        assert abs(est - n) / n < 0.04, f"n={n} est={est}"
+
+
+def test_hll_duplicates_dont_count():
+    h = HyperLogLog(p=12)
+    h.add([b"dup"] * 10_000)
+    assert h.estimate() == pytest.approx(1, abs=0.5)
+
+
+def test_hll_merge_bit_identical_any_order():
+    keys = [f"k{i}".encode() for i in range(30_000)]
+    single = HyperLogLog(p=12)
+    single.add(keys)
+    rng = random.Random(0)
+    for _ in range(3):
+        parts = [keys[i::7] for i in range(7)]
+        shards = []
+        for p in parts:
+            h = HyperLogLog(p=12)
+            h.add(p)
+            shards.append(h)
+        rng.shuffle(shards)
+        m = shards[0]
+        for s in shards[1:]:
+            m = m.merge(s)
+        assert m.to_bytes() == single.to_bytes()
+
+
+def test_hll_serde():
+    h = HyperLogLog(p=10)
+    h.add([b"a", b"b", b"c"])
+    h2 = HyperLogLog.from_bytes(h.to_bytes())
+    assert h2.estimate() == h.estimate()
+    assert np.array_equal(h2.registers, h.registers)
+
+
+# ---- CMS -----------------------------------------------------------------
+
+
+def test_cms_never_underestimates_and_bound():
+    rng = random.Random(42)
+    # zipf-ish frequencies
+    keys, truth = [], {}
+    for i in range(2000):
+        c = max(1, int(2000 / (i + 1)))
+        truth[f"k{i}"] = c
+        keys.extend([f"k{i}".encode()] * c)
+    rng.shuffle(keys)
+    cms = CountMinSketch(eps=0.001, delta=0.01)
+    cms.add(keys)
+    n = len(keys)
+    est = cms.query([k.encode() for k in truth])
+    for (k, t), e in zip(truth.items(), est):
+        assert e >= t, f"CMS underestimated {k}"
+        assert e <= t + 0.002 * n, f"CMS overshoot beyond bound for {k}"
+
+
+def test_cms_weighted_add_and_merge_identical():
+    cms1 = CountMinSketch(depth=5, width=1000)
+    cms1.add([b"x", b"y"], counts=[10, 3])
+    cms2 = CountMinSketch(depth=5, width=1000)
+    for _ in range(10):
+        cms2.add([b"x"])
+    cms2.add([b"y"], counts=[3])
+    assert np.array_equal(cms1.table, cms2.table)
+    # merge = table sum, any order
+    a, b = CountMinSketch(depth=5, width=1000), CountMinSketch(depth=5, width=1000)
+    a.add([b"p"] * 7)
+    b.add([b"q"] * 9)
+    assert a.merge(b).to_bytes() == b.merge(a).to_bytes()
+    assert a.merge(b).query([b"p", b"q"]).tolist() == [7, 9]
+
+
+def test_cms_serde():
+    cms = CountMinSketch(eps=0.01, delta=0.05)
+    cms.add([b"m"] * 5)
+    c2 = CountMinSketch.from_bytes(cms.to_bytes())
+    assert c2.query([b"m"])[0] == 5
+    assert c2.total == 5
+
+
+# ---- t-digest --------------------------------------------------------------
+
+
+def test_tdigest_quantile_accuracy_uniform_and_lognormal():
+    rng = np.random.default_rng(42)
+    for dist in (rng.uniform(0, 1, 200_000), rng.lognormal(0, 1, 200_000)):
+        td = TDigest(delta=200)
+        for chunk in np.array_split(dist, 20):
+            td.add(chunk)
+        for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+            est = float(td.quantile(q)[0])
+            true = float(np.quantile(dist, q))
+            # rank error: the estimated value's true rank must be near q
+            rank_of_est = float(np.mean(dist <= est))
+            assert abs(rank_of_est - q) < 0.02, (q, est, true, rank_of_est)
+
+
+def test_tdigest_merge_stability():
+    rng = np.random.default_rng(7)
+    data = rng.normal(100, 15, 100_000)
+    parts = np.array_split(data, 10)
+    digs = []
+    for p in parts:
+        td = TDigest(delta=200)
+        td.add(p)
+        digs.append(td)
+    random.Random(0).shuffle(digs)
+    m = digs[0]
+    for d in digs[1:]:
+        m = m.merge(d)
+    for q in (0.1, 0.5, 0.9):
+        est = float(m.quantile(q)[0])
+        rank = float(np.mean(data <= est))
+        assert abs(rank - q) < 0.02
+    assert m.total_weight == pytest.approx(len(data))
+
+
+def test_tdigest_serde_and_extremes():
+    td = TDigest()
+    td.add([1.0, 2.0, 3.0])
+    t2 = TDigest.from_bytes(td.to_bytes())
+    assert float(t2.quantile(0.0)[0]) == 1.0
+    assert float(t2.quantile(1.0)[0]) == 3.0
+    assert float(t2.quantile(0.5)[0]) == pytest.approx(2.0, abs=0.5)
+
+
+# ---- KLL -------------------------------------------------------------------
+
+
+def test_kll_quantile_accuracy():
+    rng = np.random.default_rng(3)
+    data = rng.exponential(5.0, 150_000)
+    sk = KLLSketch(k=200)
+    for chunk in np.array_split(data, 30):
+        sk.add(chunk)
+    assert sk.n == len(data)
+    for q in (0.05, 0.5, 0.95):
+        est = float(sk.quantile(q)[0])
+        rank = float(np.mean(data <= est))
+        assert abs(rank - q) < 0.03, (q, rank)
+
+
+def test_kll_merge_stability():
+    rng = np.random.default_rng(11)
+    data = rng.normal(0, 1, 80_000)
+    parts = np.array_split(data, 8)
+    sks = []
+    for p in parts:
+        s = KLLSketch(k=200)
+        s.add(p)
+        sks.append(s)
+    random.Random(5).shuffle(sks)
+    m = sks[0]
+    for s in sks[1:]:
+        m = m.merge(s)
+    assert m.n == len(data)
+    for q in (0.25, 0.5, 0.75):
+        est = float(m.quantile(q)[0])
+        rank = float(np.mean(data <= est))
+        assert abs(rank - q) < 0.03
+
+
+def test_kll_serde():
+    sk = KLLSketch(k=64)
+    sk.add(np.arange(10_000, dtype=float))
+    s2 = KLLSketch.from_bytes(sk.to_bytes())
+    assert s2.n == sk.n
+    assert float(s2.quantile(0.5)[0]) == float(sk.quantile(0.5)[0])
+    assert s2.to_bytes() == sk.to_bytes()
+
+
+def test_serde_dispatch():
+    from dablooms_spark.core.serde import loads
+    from dablooms_spark.core import CountingBloom, ScalingBloom
+
+    objs = [
+        CountingBloom(100, 0.05),
+        ScalingBloom(100, 0.05),
+        HyperLogLog(p=8),
+        CountMinSketch(depth=3, width=50),
+        TDigest(),
+        KLLSketch(),
+    ]
+    for o in objs:
+        assert type(loads(o.to_bytes())) is type(o)
+    with pytest.raises(ValueError):
+        loads(b"XXXXnotasketch")

@@ -149,6 +149,111 @@ def _q_value_quantiles_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantiles_by(events, "event_type", "value", [0.5, 0.9], kind="kll", k=200)
 
 
+# ---- training-data pipeline queries ---------------------------------------
+
+
+def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dablooms_spark.operators.textops import with_token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return with_token_count(docs).select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens")
+    )
+
+
+def _q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dablooms_spark.operators.textops import with_quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return with_quality_score(docs).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "stopword_ratio",
+        "quality_score",
+    )
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dablooms_spark.operators.textops import with_lang_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    return with_lang_id(docs).select("doc_id", "lang_pred")
+
+
+def _q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dablooms_spark.operators.textops import with_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    return with_fingerprint(docs, k=5).select("doc_id", "fingerprint")
+
+
+def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dablooms_spark.operators.dedup import exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs)
+
+
+def _q_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs, exact-verified Jaccard >= 0.8 (rows-only: the
+    LSH candidate stage is not SQL-expressible; pytest grounds recall
+    against planted duplicates)."""
+    from dablooms_spark.operators.dedup import minhash_lsh_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_dedup(docs, threshold=0.8)
+
+
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dablooms_spark.operators.dedup import simhash_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_dedup(docs, max_hamming=3)
+
+
+def _q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for the first 10 vectors; sim is
+    emitted as integer micro-units so the float never enters the hash."""
+    from dablooms_spark.operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    out = brute_force_topk(emb, queries_df, k=5)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.col("sim") * 1_000_000).cast("long").alias("sim_micro"),
+    )
+
+
+def _q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dablooms_spark.operators.similarity import lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return lsh_topk(emb, queries_df, k=5, nbits=4)
+
+
+def _q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dablooms_spark.operators.multimodal import with_media_meta
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "blob", F.encode("text", "utf-8")
+    )
+    return with_media_meta(docs, "blob").select("doc_id", "media_bytes", "media_mime")
+
+
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stubbed decode plumbing with the deterministic fake decoder —
+    rows-only (features are arrays)."""
+    from dablooms_spark.operators.multimodal import decode_media
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "blob", F.encode("text", "utf-8")
+    )
+    return decode_media(docs, "blob", "doc_id", fake=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bloom_semi_join_orders": _q_bloom_semi_join_orders,
@@ -159,6 +264,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_by_type": _q_hll_distinct_by_type,
         "value_quantiles_tdigest": _q_value_quantiles_tdigest,
         "value_quantiles_kll": _q_value_quantiles_kll,
+        "token_count_docs": _q_token_count,
+        "quality_scores_docs": _q_quality_scores,
+        "lang_id_docs": _q_lang_id,
+        "doc_fingerprints": _q_doc_fingerprints,
+        "exact_dedup_docs": _q_exact_dedup,
+        "minhash_dedup_pairs": _q_minhash_dedup_pairs,
+        "simhash_pairs": _q_simhash_pairs,
+        "ann_cosine_topk": _q_ann_cosine_topk,
+        "lsh_ann_topk": _q_lsh_ann_topk,
+        "media_meta_docs": _q_media_meta,
+        "media_features_docs": _q_media_features,
     }
 
 
@@ -201,7 +317,86 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY event_type
         """,
-        # hll_distinct_by_type / value_quantiles_* are approximate by
-        # design → rows-only driver checks; pytest asserts accuracy
-        # within each sketch's published error bound.
+        "token_count_docs": """
+            SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+        """,
+        "quality_scores_docs": """
+            WITH t AS (
+                SELECT doc_id,
+                       len(string_split(text, ' ')) AS n_tok,
+                       len(list_filter(string_split(text, ' '),
+                           tok -> tok IN ('the','a','of','and','to','in','is','it','for','on')
+                       )) AS hits
+                FROM documents
+            )
+            SELECT doc_id,
+                   n_tok AS n_tokens,
+                   hits / n_tok AS stopword_ratio,
+                   least(n_tok / 200.0, 1.0) * 0.5
+                     + least((hits / n_tok) * 4.0, 1.0) * 0.5 AS quality_score
+            FROM t
+        """,
+        "lang_id_docs": """
+            WITH s AS (
+                SELECT doc_id,
+                       len(list_filter(string_split(text,' '), t -> t IN ('the','of','and','a','to'))) AS s_en,
+                       len(list_filter(string_split(text,' '), t -> t IN ('der','die','und','das','ist'))) AS s_de,
+                       len(list_filter(string_split(text,' '), t -> t IN ('le','la','et','les','des'))) AS s_fr,
+                       len(list_filter(string_split(text,' '), t -> t IN ('el','los','y','las','una'))) AS s_es
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN s_en >= greatest(s_de, s_fr, s_es, 1) THEN 'en'
+                        WHEN s_de >= greatest(s_fr, s_es, 1) THEN 'de'
+                        WHEN s_fr >= greatest(s_es, 1) THEN 'fr'
+                        WHEN s_es >= 1 THEN 'es'
+                        ELSE 'unknown' END AS lang_pred
+            FROM s
+        """,
+        "doc_fingerprints": """
+            SELECT doc_id,
+                   list_min([md5(array_to_string(toks[i:i+4], ' '))
+                             for i in range(1, greatest(len(toks)-4, 1)+1)]) AS fingerprint
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        """,
+        "exact_dedup_docs": """
+            SELECT min(doc_id) AS doc_id, count(*) AS dupes
+            FROM documents
+            GROUP BY md5(text)
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (
+                SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+                FROM embeddings WHERE vec_id < 10
+            ),
+            c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings),
+            sims AS (
+                SELECT qid, cid, list_cosine_similarity(qv, cv) AS sim
+                FROM q CROSS JOIN c
+            ),
+            ranked AS (
+                SELECT qid AS query_id, cid AS neighbor_id,
+                       CAST(round(round(sim, 6) * 1000000) AS BIGINT) AS sim_micro,
+                       row_number() OVER (
+                           PARTITION BY qid
+                           ORDER BY round(sim, 6) DESC, cid ASC
+                       ) AS rn
+                FROM sims
+            )
+            SELECT query_id, neighbor_id, sim_micro FROM ranked WHERE rn <= 5
+        """,
+        "media_meta_docs": """
+            SELECT doc_id,
+                   octet_length(CAST(text AS BLOB)) AS media_bytes,
+                   CASE WHEN substr(text,1,4) = 'GIF8' THEN 'image/gif'
+                        WHEN substr(text,1,4) = 'RIFF' THEN 'audio/wav'
+                        WHEN substr(text,1,4) = '<htm' THEN 'text/html'
+                        ELSE 'application/octet-stream' END AS media_mime
+            FROM documents
+        """,
+        # hll_distinct_by_type / value_quantiles_* / minhash_dedup_pairs /
+        # simhash_pairs / lsh_ann_topk / media_features_docs are
+        # approximate or not SQL-expressible → rows-only driver checks;
+        # pytest asserts their accuracy/recall bounds.
     }

@@ -1,0 +1,121 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata.
+
+The decode step itself is STUBBED (no image/audio libraries in this
+container): `decode_media` raises NotImplementedError unless
+`fake=True`, in which case a deterministic hash-derived feature vector
+stands in for real decoded features. Everything around the stub —
+schema, Arrow batch shape, mapInPandas plumbing, partition-preserving
+layout — is real and tested, so swapping in a real decoder (PIL,
+ffmpeg, torchvision) is a one-function change on a cluster that has
+the libraries.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# magic-byte sniffing — pure Catalyst, no Python
+_MAGICS = [
+    ("image/png", b"\x89PNG"),
+    ("image/jpeg", b"\xff\xd8\xff"),
+    ("image/gif", b"GIF8"),
+    ("audio/wav", b"RIFF"),
+    ("video/mp4", b"\x00\x00\x00"),
+    ("text/html", b"<htm"),
+]
+
+
+def with_media_meta(df: DataFrame, binary_col: str = "html") -> DataFrame:
+    """Typed metadata columns from an opaque binary column:
+    byte length and sniffed mime (JVM-side magic-byte CASE chain)."""
+    head = F.substring(F.col(binary_col), 1, 4)
+    mime = F.lit("application/octet-stream")
+    for name, magic in reversed(_MAGICS):
+        mime = F.when(
+            F.substring(F.col(binary_col), 1, len(magic)) == F.lit(magic), F.lit(name)
+        ).otherwise(mime)
+    return df.withColumn("media_bytes", F.length(F.col(binary_col))).withColumn(
+        "media_mime", mime
+    )
+
+
+MEDIA_FEATURE_DIM = 16
+
+
+def decode_media(
+    df: DataFrame,
+    binary_col: str = "html",
+    id_col: str = "row_id",
+    fake: bool = False,
+    batch_note: str = "image",
+) -> DataFrame:
+    """Decode/feature-extract a binary media column via mapInPandas.
+
+    Output schema: (id, media_bytes long, features array<float>) —
+    one Arrow batch in, one out, no row explosion; partitioning is
+    preserved (no shuffle). With fake=False this raises
+    NotImplementedError from the executors: the real decoder is not
+    available in this environment (documented stub).
+    """
+    schema = f"{id_col} long, media_bytes long, features array<float>"
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    f"no {batch_note} decoder available in this environment; "
+                    "pass fake=True for the deterministic stand-in"
+                )
+            blobs = pdf[binary_col]
+            lengths = blobs.map(len).astype("int64")
+            # deterministic fake features: normalized byte histogram
+            # folded to MEDIA_FEATURE_DIM buckets — stable across runs
+            feats = []
+            for b in blobs:
+                arr = np.frombuffer(b, dtype=np.uint8)
+                hist = np.bincount(arr % MEDIA_FEATURE_DIM, minlength=MEDIA_FEATURE_DIM)
+                total = hist.sum() or 1
+                feats.append((hist / total).astype(np.float32))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "media_bytes": lengths,
+                    "features": feats,
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(decode, schema=schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    binary_col: str,
+    id_col: str,
+    every_n_bytes: int = 4096,
+    max_frames: int = 8,
+) -> DataFrame:
+    """Frame-sampling plumbing: one output row per sampled 'frame'
+    (byte-offset slice) — the explode-shaped transform a real video
+    pipeline needs, with deterministic offsets. The slice itself is a
+    real binary substring; only the *decoding* of a slice is stubbed.
+    """
+    n_frames = F.least(
+        F.greatest((F.length(binary_col) / every_n_bytes).cast("int"), F.lit(1)),
+        F.lit(max_frames),
+    )
+    frames = F.transform(
+        F.sequence(F.lit(0), n_frames - 1),
+        lambda i: F.substring(
+            F.col(binary_col), i * every_n_bytes + 1, every_n_bytes
+        ),
+    )
+    return (
+        df.select(F.col(id_col), F.posexplode(frames).alias("frame_idx", "frame"))
+        .withColumn("frame_bytes", F.length("frame"))
+    )

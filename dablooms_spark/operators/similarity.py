@@ -1,0 +1,211 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute_force_topk: exact cosine top-k. Queries (small) broadcast as a
+  numpy matrix; corpus partitions compute batched matmuls and emit
+  only their local top-k per query, so the shuffle carries k rows per
+  (query, partition) instead of the full corpus — the same partial/
+  final shape as the sketch aggregations. Exact, oracle-matchable.
+- lsh_topk: random-hyperplane LSH — corpus bucketed by sign-bit codes
+  (JVM join on bucket), exact cosine re-rank within buckets.
+  Approximate recall, scale path for corpora too big to matmul.
+- embedding_neardup_pairs: corpus self near-duplicate detection via
+  LSH buckets + exact cosine verification.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def _to_matrix(col: pa.Array, dtype=np.float32) -> np.ndarray:
+    """(n, d) matrix from an Arrow list<float> column —
+    zero-copy flatten + reshape (fixed dimensionality assumed)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(dtype)
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype)
+    d = len(flat) // n
+    return flat.reshape(n, d)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, sim) with
+    deterministic tie-break (higher sim first, then lower neighbor id).
+    """
+    qid = query_id_col or id_col
+    spark = corpus.sparkSession
+    qrows = queries.select(F.col(qid).alias("qid"), F.col(vec_col)).collect()
+    q_ids = np.array([r.qid for r in qrows], dtype=np.int64)
+    # float64 throughout so the similarity matches a double-precision
+    # SQL oracle (float32 matmul differs in the 6th decimal)
+    q_mat = _normalize(np.array([r[vec_col] for r in qrows], dtype=np.float64))
+    bc = spark.sparkContext.broadcast((q_ids, q_mat))
+
+    def local_topk(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        q_ids_, q_mat_ = bc.value
+        best_sim = None  # (nq, k) running top-k across batches
+        best_ids = None
+        for batch in batches:
+            ids = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            m = _normalize(_to_matrix(batch.column(1), np.float64))
+            if m.shape[0] == 0:
+                continue
+            sims = q_mat_ @ m.T  # (nq, nb)
+            cat_ids = np.broadcast_to(ids, (len(q_ids_), len(ids)))
+            if best_sim is not None:
+                sims = np.concatenate([best_sim, sims], axis=1)
+                cat_ids = np.concatenate([best_ids, cat_ids], axis=1)
+            kk = min(k, sims.shape[1])
+            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            rows = np.arange(sims.shape[0])[:, None]
+            best_sim = sims[rows, part]
+            best_ids = cat_ids[rows, part]
+        if best_sim is not None:
+            nq, kk = best_sim.shape
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "qid": np.repeat(q_ids_, kk),
+                    "neighbor_id": best_ids.ravel().astype(np.int64),
+                    "sim": best_sim.ravel().astype(np.float64),
+                },
+                schema=pa.schema(
+                    [
+                        ("qid", pa.int64()),
+                        ("neighbor_id", pa.int64()),
+                        ("sim", pa.float64()),
+                    ]
+                ),
+            )
+
+    partials = corpus.select(F.col(id_col), F.col(vec_col)).mapInArrow(
+        local_topk, schema="qid long, neighbor_id long, sim double"
+    )
+    # rank on the ROUNDED similarity so near-equal floats tie-break on
+    # neighbor id identically in any engine computing the same math
+    w = Window.partitionBy("qid").orderBy(
+        F.desc(F.round("sim", 6)), F.asc("neighbor_id")
+    )
+    return (
+        partials.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            "neighbor_id",
+            F.round("sim", 6).alias("sim"),
+        )
+    )
+
+
+def _hyperplane_code_udf(dim: int, nbits: int, seed: int):
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(dim, nbits)).astype(np.float32)
+    weights = (1 << np.arange(nbits, dtype=np.int64))
+
+    @pandas_udf("long")
+    def code(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for series in it:
+            col = pa.array(series)
+            m = _to_matrix(col)
+            if m.shape[0] == 0:
+                yield pd.Series([], dtype="int64")
+                continue
+            bits = (m @ planes) > 0
+            yield pd.Series(bits @ weights)
+
+    return code
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nbits: int = 8,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate top-k: hyperplane-bucketed candidates, exact cosine
+    re-rank inside buckets. Recall < 1 by design (rows-only check)."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    code = _hyperplane_code_udf(dim, nbits, seed)
+    c = corpus.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    ).withColumn("bucket", code("cvec"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    ).withColumn("bucket", code("qvec"))
+    joined = q.join(c, "bucket")
+    dot = F.aggregate(
+        F.zip_with("qvec", "cvec", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    qn = F.sqrt(F.aggregate("qvec", F.lit(0.0), lambda a, x: a + x * x))
+    cn = F.sqrt(F.aggregate("cvec", F.lit(0.0), lambda a, x: a + x * x))
+    sim = (dot / (qn * cn)).alias("sim")
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        joined.select("query_id", F.col("cid").alias("neighbor_id"), sim)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"))
+    )
+
+
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    min_sim: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nbits: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate (id_a < id_b, sim >= min_sim) pairs within LSH
+    buckets, exact cosine verified JVM-side."""
+    dim = len(corpus.select(vec_col).first()[0])
+    code = _hyperplane_code_udf(dim, nbits, seed)
+    c = corpus.select(F.col(id_col), F.col(vec_col)).withColumn(
+        "bucket", code(vec_col)
+    )
+    l = c.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket"
+    )
+    r = c.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket"
+    )
+    pairs = l.join(r, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
+    )
+    na = F.sqrt(F.aggregate("va", F.lit(0.0), lambda a, x: a + x * x))
+    nb = F.sqrt(F.aggregate("vb", F.lit(0.0), lambda a, x: a + x * x))
+    return (
+        pairs.withColumn("sim", F.round(dot / (na * nb), 6))
+        .filter(F.col("sim") >= min_sim)
+        .select("id_a", "id_b", "sim")
+        .distinct()
+    )

@@ -1,0 +1,113 @@
+"""Text-analysis operators for web-corpus pipelines.
+
+Everything here is pure Catalyst expressions (JVM-side, whole-stage
+codegen, no Python workers): token counting, quality scoring, n-gram
+language ID, and k-gram document fingerprinting. Deterministic, so
+each has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# small marker-token sets per language (n-gram heuristic language ID)
+LANG_MARKERS = {
+    "en": ("the", "of", "and", "a", "to"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "los", "y", "las", "una"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+
+def tokens(text_col: str | Column) -> Column:
+    """Whitespace tokenization (single-space split — the corpus stores
+    single-space-joined tokens; byte-identical to the oracle's
+    string_split)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(c, " ")
+
+
+def with_token_count(df: DataFrame, text_col: str = "text", out: str = "n_tokens") -> DataFrame:
+    return df.withColumn(out, F.size(tokens(text_col)))
+
+
+def _count_in(toks: Column, words: tuple[str, ...]) -> Column:
+    lit_arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(lit_arr, t)))
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic quality features + composite score:
+    token count, mean token length, stopword ratio, and a [0,1] score
+    that rewards mid-length documents with natural stopword density.
+    """
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    mean_tok_len = (n_chars - (n_tok - F.lit(1))) / n_tok  # chars minus separators
+    stop_ratio = _count_in(toks, STOPWORDS) / n_tok
+    length_term = F.least(n_tok / F.lit(200.0), F.lit(1.0))
+    stop_term = F.least(stop_ratio * F.lit(4.0), F.lit(1.0))
+    # no rounding: identical integer-division expressions produce
+    # bit-identical IEEE doubles in Spark and DuckDB, so the oracle
+    # compare is exact; rounding would only introduce divergence
+    score = length_term * F.lit(0.5) + stop_term * F.lit(0.5)
+    return (
+        df.withColumn("n_tokens", n_tok)
+        .withColumn("mean_token_len", mean_tok_len)
+        .withColumn("stopword_ratio", stop_ratio)
+        .withColumn("quality_score", score)
+    )
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -> DataFrame:
+    """Marker-token language ID. Ties and all-zero scores resolve by
+    the fixed order en > de > fr > es > unknown, so the rule is fully
+    deterministic and SQL-expressible."""
+    toks = tokens(text_col)
+    scores = {lang: _count_in(toks, ws) for lang, ws in LANG_MARKERS.items()}
+    best = F.lit("unknown")
+    best_score = F.lit(0)
+    # reverse priority order so earlier languages win ties via >
+    for lang in ("es", "fr", "de", "en"):
+        s = scores[lang]
+        take = s >= F.greatest(best_score, F.lit(1))
+        best = F.when(take, F.lit(lang)).otherwise(best)
+        best_score = F.greatest(best_score, s)
+    return df.withColumn(out, best)
+
+
+def with_fingerprint(
+    df: DataFrame, text_col: str = "text", k: int = 5, out: str = "fingerprint"
+) -> DataFrame:
+    """k-gram document fingerprint: the minimum md5 over the document's
+    token k-gram shingles (a 1-permutation MinHash). md5 is available
+    in both Spark and DuckDB, so the fingerprint is oracle-exact.
+    Near-identical documents collide with probability ≈ Jaccard."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    return df.withColumn(out, F.array_min(F.transform(grams, F.md5)))
+
+
+def shingle_hashes(
+    text_col: str | Column, k: int = 5, num_buckets: int = 1 << 32
+) -> Column:
+    """Distinct xxhash64 values of token k-gram shingles (JVM-side).
+    The MinHash/LSH dedup path consumes these; xxhash64 keeps the
+    whole shingling stage inside whole-stage codegen."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    return F.array_distinct(
+        F.transform(grams, lambda g: F.pmod(F.xxhash64(g), F.lit(num_buckets)))
+    )

@@ -1,0 +1,181 @@
+"""Bench harness — headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec",
+ "queries": {name: sec, ...}, "sf": ..., "throughput": {...}}
+
+The headline set covers the engine's load-bearing paths:
+  bloom_build_lineitem   — counting-bloom build+merge over 600k keys
+                           (the north_rule docs/sec metric's shape)
+  scaling_bloom_webpages — scaling-filter build over a synthesized
+                           200k-row CC-style corpus (Zipf hosts) +
+                           full-corpus probe (FN must be 0)
+  bloom_semi_join        — runtime-filter exact semi join at sf
+  sketch_aggs_events     — HLL + CMS + t-digest/KLL grouped aggs
+  minhash_dedup_webpages — shingle/MinHash/LSH near-dup pairs on 20k
+                           synthesized docs
+  ann_topk_embeddings    — exact cosine top-k over the embeddings table
+
+Scaling-efficiency evidence (N vs 4N cores on identical input) is
+produced by tools/bench_scaling.py, which writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def make_spark(cpus: int) -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("dablooms-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        .config("spark.driver.memory", "8g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        .getOrCreate()
+    )
+
+
+def bench_queries(spark: SparkSession, sf_dir: str) -> dict:
+    from dablooms_spark.operators import (
+        bloom_probe_column,
+        bloom_semi_join,
+        build_counting_bloom,
+        build_scaling_bloom,
+    )
+    from dablooms_spark.operators.dedup import minhash_lsh_dedup
+    from dablooms_spark.operators.sketch_agg import (
+        approx_distinct_by,
+        quantiles_by,
+        sketch_agg,
+    )
+    from dablooms_spark.operators.similarity import brute_force_topk
+    from dablooms_spark.sources import load_table, synth_webpages
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    events = load_table(spark, sf_dir, "events")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    counters = {}
+
+    def q_bloom_build_lineitem():
+        keyed = lineitem.select(
+            F.concat_ws(":", "l_orderkey", "l_linenumber").alias("k")
+        )
+        n = lineitem.count()
+        filt = build_counting_bloom(keyed, "k", capacity=n, error_rate=0.01)
+        counters["bloom_build_rows"] = filt.count
+        return filt.count
+
+    def q_scaling_bloom_webpages():
+        wp = synth_webpages(spark, n_rows=200_000, partitions=cpus * 2)
+        filt = build_scaling_bloom(
+            wp, "url", "row_id", capacity=50_000, error_rate=0.01,
+            num_shards=cpus * 2,
+        )
+        fn = bloom_probe_column(
+            wp.select("url"), "url", filt
+        ).filter("NOT is_member").count()
+        assert fn == 0, f"false negatives: {fn}"
+        counters["scaling_rows"] = filt.count
+        return filt.count
+
+    def q_bloom_semi_join():
+        dim = customer.filter(F.col("c_acctbal") > 0).select(
+            F.col("c_custkey").cast("string").alias("ckey")
+        )
+        filt = build_counting_bloom(dim, "ckey", capacity=20_000, error_rate=0.01)
+        probe = orders.withColumn("okey", F.col("o_custkey").cast("string"))
+        return bloom_semi_join(
+            probe, "okey", filt, exact_df=dim, exact_key="ckey"
+        ).count()
+
+    def q_sketch_aggs_events():
+        a = approx_distinct_by(events, "event_type", "user_id", p=14).count()
+        cms = sketch_agg(events, "event_type", "cms", eps=1e-4, delta=0.01)
+        b = quantiles_by(
+            events, "event_type", "value", [0.5, 0.95, 0.99], kind="tdigest"
+        ).count()
+        c = quantiles_by(
+            events, "event_type", "value", [0.5], kind="kll", k=200
+        ).count()
+        return a + b + c + cms.total
+
+    def q_minhash_dedup_webpages():
+        wp = synth_webpages(spark, n_rows=20_000, partitions=cpus * 2)
+        return minhash_lsh_dedup(
+            wp.select(F.col("row_id").alias("doc_id"), "text"),
+            threshold=0.5,
+        ).count()
+
+    def q_ann_topk_embeddings():
+        queries_df = emb.filter(F.col("vec_id") < 50)
+        return brute_force_topk(emb, queries_df, k=10).count()
+
+    suite = {
+        "bloom_build_lineitem": q_bloom_build_lineitem,
+        "scaling_bloom_webpages": q_scaling_bloom_webpages,
+        "bloom_semi_join": q_bloom_semi_join,
+        "sketch_aggs_events": q_sketch_aggs_events,
+        "minhash_dedup_webpages": q_minhash_dedup_webpages,
+        "ann_topk_embeddings": q_ann_topk_embeddings,
+    }
+
+    # warm the session (JVM + Python worker pool) outside the timings
+    lineitem.limit(10_000).count()
+
+    times = {}
+    for name, fn in suite.items():
+        t0 = time.perf_counter()
+        fn()
+        times[name] = round(time.perf_counter() - t0, 3)
+    times["_counters"] = counters
+    return times
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    spark = make_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    times = bench_queries(spark, sf_dir)
+    counters = times.pop("_counters", {})
+    total = round(sum(times.values()), 3)
+    build_docs = counters.get("bloom_build_rows", 0) + counters.get("scaling_rows", 0)
+    build_sec = times.get("bloom_build_lineitem", 0) + times.get(
+        "scaling_bloom_webpages", 0
+    )
+    out = {
+        "metric": "headline suite wall time (bloom build+probe, semi join, sketch aggs, dedup, ann)",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf_dir.rstrip("/").split("sf")[-1],
+        "cpus": cpus,
+        "throughput": {
+            "sketch_build_docs": build_docs,
+            "sketch_build_docs_per_sec": round(build_docs / build_sec, 1)
+            if build_sec
+            else None,
+        },
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

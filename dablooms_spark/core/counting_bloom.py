@@ -36,7 +36,8 @@ from dablooms_spark.functions.murmur import DABLOOMS_SEED
 
 _MAGIC = b"DBSK"
 _VERSION = 1
-_KIND_COUNTING = 1
+_KIND_COUNTING = 1  # dense nibble payload
+_KIND_COUNTING_SPARSE = 2  # u64 nnz + index array + u8 counts
 # magic 4s | version u16 | kind u8 | pad u8 | capacity u64 | error f64 |
 # nfuncs u32 | pad u32 | counts_per_func u64 | first_id u64 | count u64
 _HDR = struct.Struct("<4sHBBQdIIQQQ")
@@ -78,11 +79,26 @@ class CountingBloom:
         return km_expand(h1, h2, g.nfuncs, g.counts_per_func)
 
     def _apply(self, idx: np.ndarray, delta: int, n: int) -> None:
-        acc = np.zeros(self.geometry.size, dtype=np.int32)
-        np.add.at(acc, idx.ravel(), delta)
-        acc += self.counters
-        np.clip(acc, 0, 15, out=acc)
-        self.counters = acc.astype(np.uint8)
+        flat = idx.ravel()
+        if flat.size * 8 < self.geometry.size:
+            # sparse batch relative to the filter: touch only hit
+            # counters (full-array sweeps would be memory-bandwidth
+            # bound — ~5 sweeps of size*4 bytes per batch kills
+            # scaling when capacity >> batch size)
+            uniq, counts = np.unique(flat, return_counts=True)
+            cur = self.counters[uniq].astype(np.int32)
+            if delta >= 0:
+                cur += counts.astype(np.int32)
+            else:
+                cur -= counts.astype(np.int32)
+            np.clip(cur, 0, 15, out=cur)
+            self.counters[uniq] = cur.astype(np.uint8)
+        else:
+            acc = np.zeros(self.geometry.size, dtype=np.int32)
+            np.add.at(acc, flat, delta)
+            acc += self.counters
+            np.clip(acc, 0, 15, out=acc)
+            self.counters = acc.astype(np.uint8)
         self.count += delta * n
 
     def add(self, keys) -> None:
@@ -134,6 +150,74 @@ class CountingBloom:
             and self.first_id == other.first_id
         )
 
+    @classmethod
+    def merge_blobs(cls, blobs: list[bytes], seed: int = DABLOOMS_SEED) -> "CountingBloom":
+        """Merge serialized filters without densifying each one: sparse
+        payloads scatter-add straight into a single accumulator, dense
+        payloads add vectorized. Traffic = one accumulator pass plus
+        Σ nnz — the shape a 1000-shard merge needs."""
+        first = _HDR.unpack_from(blobs[0], 0)
+        (_m, _v, _k, _p, capacity, error_rate, nfuncs, _p2, cpf, _fid, _cnt) = first
+        g = BloomGeometry(capacity, error_rate)
+        acc = np.zeros(g.size, dtype=np.int32)
+        count = 0
+        first_id = None
+        for blob in blobs:
+            (magic, _ver, kind, _pad, cap_i, err_i, nf_i, _pp, cpf_i, fid_i, cnt_i) = (
+                _HDR.unpack_from(blob, 0)
+            )
+            if magic != _MAGIC or (cap_i, err_i) != (capacity, error_rate):
+                raise ValueError("cannot merge counting blooms with different geometry")
+            count += cnt_i
+            first_id = fid_i if first_id is None else min(first_id, fid_i)
+            if kind == _KIND_COUNTING_SPARSE:
+                (nnz,) = struct.unpack_from("<Q", blob, _HDR.size)
+                idx_dtype = np.uint64 if g.size > 0xFFFFFFFF else np.uint32
+                off = _HDR.size + 8
+                idx = np.frombuffer(blob, dtype=idx_dtype, count=nnz, offset=off)
+                off += nnz * idx.itemsize
+                vals = np.frombuffer(blob, dtype=np.uint8, count=nnz, offset=off)
+                np.add.at(acc, idx.astype(np.int64), vals.astype(np.int32))
+            else:
+                packed = np.frombuffer(blob, dtype=np.uint8, offset=_HDR.size)
+                acc[0::2] += packed[: (g.size + 1) // 2] >> 4
+                acc[1::2] += (packed[: g.size // 2] & 0x0F).astype(np.int32)
+        np.clip(acc, 0, 15, out=acc)
+        return cls(
+            capacity,
+            error_rate,
+            first_id=first_id or 0,
+            seed=seed,
+            _counters=acc.astype(np.uint8),
+            _count=count,
+        )
+
+    @classmethod
+    def merge_many(cls, blooms: list["CountingBloom"]) -> "CountingBloom":
+        """Fold many filters with ONE accumulator pass — pairwise
+        merge() would allocate and sweep a fresh array per pair."""
+        first = blooms[0]
+        if len(blooms) == 1:
+            return first
+        acc = first.counters.astype(np.int32)
+        count = first.count
+        first_id = first.first_id
+        for b in blooms[1:]:
+            if b.geometry != first.geometry or b.seed != first.seed:
+                raise ValueError("cannot merge counting blooms with different geometry")
+            acc += b.counters
+            count += b.count
+            first_id = min(first_id, b.first_id)
+        np.clip(acc, 0, 15, out=acc)
+        return cls(
+            first.geometry.capacity,
+            first.geometry.error_rate,
+            first_id=first_id,
+            seed=first.seed,
+            _counters=acc.astype(np.uint8),
+            _count=count,
+        )
+
     def merge(self, other: "CountingBloom") -> "CountingBloom":
         """Associative, commutative saturating counter-sum merge.
 
@@ -160,11 +244,26 @@ class CountingBloom:
     # ---- serde ---------------------------------------------------------
 
     def to_bytes(self) -> bytes:
+        """Self-describing blob; picks dense nibble packing (the
+        dablooms file layout) or a sparse (index, count) encoding,
+        whichever is smaller. Sparse matters at scale: a shard holding
+        n keys of a filter sized for N >> n keys has ~n·k nonzero
+        counters out of N·k/ln2 — stage-1 partial blobs shrink ~10x,
+        which is exactly the bytes the merge shuffle and the driver
+        collect pay for."""
         g = self.geometry
+        nnz = int(np.count_nonzero(self.counters))
+        idx_width = 8 if g.size > 0xFFFFFFFF else 4
+        sparse_bytes = 8 + nnz * (idx_width + 1)
+        kind = (
+            _KIND_COUNTING_SPARSE
+            if sparse_bytes < g.num_nibble_bytes
+            else _KIND_COUNTING
+        )
         header = _HDR.pack(
             _MAGIC,
             _VERSION,
-            _KIND_COUNTING,
+            kind,
             0,
             g.capacity,
             g.error_rate,
@@ -174,6 +273,11 @@ class CountingBloom:
             self.first_id,
             self.count,
         )
+        if kind == _KIND_COUNTING_SPARSE:
+            nz = np.flatnonzero(self.counters)
+            vals = self.counters[nz]
+            idx = nz.astype(np.uint64 if idx_width == 8 else np.uint32)
+            return header + struct.pack("<Q", nnz) + idx.tobytes() + vals.tobytes()
         c = self.counters
         if len(c) % 2:
             c = np.concatenate([c, np.zeros(1, np.uint8)])
@@ -195,22 +299,32 @@ class CountingBloom:
             first_id,
             count,
         ) = _HDR.unpack_from(blob, 0)
-        if magic != _MAGIC or kind != _KIND_COUNTING:
+        if magic != _MAGIC or kind not in (_KIND_COUNTING, _KIND_COUNTING_SPARSE):
             raise ValueError("not a counting-bloom blob")
         g = BloomGeometry(capacity, error_rate)
         if g.nfuncs != nfuncs or g.counts_per_func != cpf:
             raise ValueError("blob geometry does not match its config")
-        packed = np.frombuffer(blob, dtype=np.uint8, offset=_HDR.size)
-        counters = np.empty(len(packed) * 2, dtype=np.uint8)
-        counters[0::2] = packed >> 4
-        counters[1::2] = packed & 0x0F
-        counters = counters[: g.size]
+        if kind == _KIND_COUNTING_SPARSE:
+            (nnz,) = struct.unpack_from("<Q", blob, _HDR.size)
+            idx_dtype = np.uint64 if g.size > 0xFFFFFFFF else np.uint32
+            off = _HDR.size + 8
+            idx = np.frombuffer(blob, dtype=idx_dtype, count=nnz, offset=off)
+            off += nnz * idx.itemsize
+            vals = np.frombuffer(blob, dtype=np.uint8, count=nnz, offset=off)
+            counters = np.zeros(g.size, dtype=np.uint8)
+            counters[idx.astype(np.int64)] = vals
+        else:
+            packed = np.frombuffer(blob, dtype=np.uint8, offset=_HDR.size)
+            counters = np.empty(len(packed) * 2, dtype=np.uint8)
+            counters[0::2] = packed >> 4
+            counters[1::2] = packed & 0x0F
+            counters = counters[: g.size].copy()
         return cls(
             capacity,
             error_rate,
             first_id=first_id,
             seed=seed,
-            _counters=counters.copy(),
+            _counters=counters,
             _count=count,
         )
 

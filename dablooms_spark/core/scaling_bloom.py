@@ -200,6 +200,64 @@ class ScalingBloom:
             max_id=max(self.max_id, other.max_id),
         )
 
+    @classmethod
+    def merge_blobs(cls, blobs: list[bytes], seed: int = DABLOOMS_SEED) -> bytes:
+        """Merge serialized scaling filters AT THE BYTE LEVEL.
+
+        Layers serialize independently, and disjoint-range shard layers
+        never share (first_id, error_rate), so the common case is a
+        pure splice: parse headers, sort layer records by key, and
+        concatenate layer bytes — zero numpy work, zero unpack/repack.
+        Colliding layers (same first_id AND error_rate) fall back to
+        CountingBloom.merge_blobs for that group. Returns the merged
+        blob (callers needing the object deserialize once)."""
+        metas = []
+        layer_recs: list[tuple[tuple, bytes]] = []
+        for blob in blobs:
+            magic, _ver, _pad, capacity, error_rate, max_id, nlayers, _p2 = (
+                _HDR.unpack_from(blob, 0)
+            )
+            if magic != _MAGIC:
+                raise ValueError("not a scaling-bloom blob")
+            metas.append((capacity, error_rate, max_id))
+            off = _HDR.size
+            for _ in range(nlayers):
+                (ln,) = struct.unpack_from("<Q", blob, off)
+                off += 8
+                rec = blob[off : off + ln]
+                off += ln
+                # counting-bloom header: error_rate at byte 16, first_id at 40
+                (l_err,) = struct.unpack_from("<d", rec, 16)
+                (l_fid,) = struct.unpack_from("<Q", rec, 40)
+                layer_recs.append(((l_fid, -l_err), bytes(rec)))
+        if len({(m[0]) for m in metas}) != 1:
+            raise ValueError("cannot merge scaling blooms with different capacity")
+        by_key: dict[tuple, list[bytes]] = {}
+        for key, rec in layer_recs:
+            by_key.setdefault(key, []).append(rec)
+        merged_layers = []
+        for key in sorted(by_key):
+            group = by_key[key]
+            if len(group) == 1:
+                merged_layers.append(group[0])
+            else:
+                merged_layers.append(
+                    CountingBloom.merge_blobs(group, seed=seed).to_bytes()
+                )
+        capacity = metas[0][0]
+        error_rate = min(m[1] for m in metas)
+        max_id = max(m[2] for m in metas)
+        parts = [
+            _HDR.pack(
+                _MAGIC, _VERSION, 0, capacity, error_rate, max_id,
+                len(merged_layers), 0,
+            )
+        ]
+        for rec in merged_layers:
+            parts.append(struct.pack("<Q", len(rec)))
+            parts.append(rec)
+        return b"".join(parts)
+
     # ---- serde -----------------------------------------------------------
 
     def to_bytes(self) -> bytes:

@@ -29,8 +29,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dablooms_spark.core.counting_bloom import CountingBloom
+from dablooms_spark.core.geometry import BloomGeometry
 from dablooms_spark.core.scaling_bloom import ScalingBloom
 from dablooms_spark.functions.arrow_utils import arrow_byte_view
+from dablooms_spark.functions.hashing import km_expand
 from dablooms_spark.functions.murmur import DABLOOMS_SEED, dablooms_hash_words_buffer
 
 _BLOB_SCHEMA = "shard long, blob binary, n long"
@@ -46,23 +48,51 @@ def _loads(blob: bytes, seed: int):
     return loads(blob, seed=seed)
 
 
-def _tree_merge(blob_df: DataFrame, seed: int, fanin: int, collect_threshold: int = 256):
+def _merge_blobs_to_bytes(blobs: list[bytes], seed: int) -> bytes:
+    """Fold serialized sketches to a serialized result, using the
+    no-densify fast paths: counting blooms scatter-add sparsely,
+    scaling blooms splice layer bytes."""
+    magic = bytes(blobs[0][:4])
+    if magic == b"DBSK":
+        return CountingBloom.merge_blobs([bytes(b) for b in blobs], seed=seed).to_bytes()
+    if magic == b"DBSC":
+        return ScalingBloom.merge_blobs([bytes(b) for b in blobs], seed=seed)
+    out = _loads(blobs[0], seed)
+    for b in blobs[1:]:
+        out = out.merge(_loads(b, seed))
+    return out.to_bytes()
+
+
+def _merge_blob_list(blobs: list[bytes], seed: int):
+    """Fold serialized sketches to a driver-side object."""
+    magic = bytes(blobs[0][:4])
+    if magic == b"DBSK":
+        return CountingBloom.merge_blobs([bytes(b) for b in blobs], seed=seed)
+    if len(blobs) == 1:
+        return _loads(blobs[0], seed)
+    return _loads(_merge_blobs_to_bytes(blobs, seed), seed)
+
+
+def _tree_merge(blob_df: DataFrame, seed: int, fanin: int = 8, collect_threshold: int = 8):
     """Merge a DataFrame of (shard, blob, n) rows down to one filter.
 
-    Shuffles only blobs. Rounds of groupBy(shard // fanin) until few
-    enough rows remain to merge on the driver.
+    Shuffles only blobs. Rounds of groupBy(shard % k) with k =
+    ceil(n/fanin) groups run the merges in parallel (the log-depth
+    critical path); once <= collect_threshold blobs remain they are
+    collected and folded on the driver. Small fanin keeps every round
+    wide enough to use the cluster — with wide filters the merge is
+    memory-bandwidth work, and one task merging 64 blobs serializes
+    exactly what the tree is meant to parallelize.
     """
 
     def merge_group(pdf):
         import pandas as pd
 
-        filt = _loads(pdf.blob.iloc[0], seed)
-        for b in pdf.blob.iloc[1:]:
-            filt = filt.merge(_loads(b, seed))
+        merged = _merge_blobs_to_bytes(list(pdf.blob), seed)
         return pd.DataFrame(
             {
                 "shard": [int(pdf.shard.min())],
-                "blob": [filt.to_bytes()],
+                "blob": [merged],
                 "n": [int(pdf.n.sum())],
             }
         )
@@ -86,30 +116,134 @@ def _tree_merge(blob_df: DataFrame, seed: int, fanin: int, collect_threshold: in
         n = k
     rows = df.collect()
     blob_df.unpersist()
-    filt = _loads(rows[0].blob, seed)
-    total = rows[0].n
-    for r in rows[1:]:
-        filt = filt.merge(_loads(r.blob, seed))
-        total += r.n
+    filt = _merge_blob_list([r.blob for r in rows], seed)
+    total = sum(r.n for r in rows)
     return filt, total
 
 
-def build_counting_bloom(
+def _chunk_pieces_build(
+    sdf: DataFrame,
+    capacity: int,
+    error_rate: float,
+    seed: int,
+    num_chunks: int,
+) -> DataFrame:
+    """Stage 1 for the chunked merge: each task builds its partial
+    filter, then splits the (sorted) nonzero counters into
+    `num_chunks` counter-range chunks and emits one sparse piece per
+    non-empty chunk: (chunk, idx binary, vals binary, n)."""
+    g = BloomGeometry(capacity, error_rate)
+    size = g.size
+    bounds = np.linspace(0, size, num_chunks + 1).astype(np.int64)
+
+    def build_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        # Never materialize the full counter array in the task: with
+        # capacity >> per-task rows it is O(size) of random-scatter
+        # writes per task — 32 concurrent 77MB working sets thrash a
+        # single socket's cache. Instead collect the banded indices
+        # (sequential appends) and sort/group once at the end: the
+        # sparse counts fall out of np.unique directly.
+        idx_parts = []
+        count = 0
+        for batch in batches:
+            buf, offs, lens = arrow_byte_view(batch.column(0))
+            h1, h2 = dablooms_hash_words_buffer(buf, offs, lens, seed)
+            idx_parts.append(
+                km_expand(h1, h2, g.nfuncs, g.counts_per_func).ravel()
+            )
+            count += len(h1)
+        if not count:
+            return
+        all_idx = np.concatenate(idx_parts)
+        nz, cnts = np.unique(all_idx, return_counts=True)
+        vals = np.minimum(cnts, 15).astype(np.uint8)  # saturating 4-bit
+        cuts = np.searchsorted(nz, bounds)
+        chunks, idx_b, val_b, ns = [], [], [], []
+        first = True
+        for c in range(num_chunks):
+            lo, hi = int(cuts[c]), int(cuts[c + 1])
+            if lo == hi and not first:
+                continue
+            local = (nz[lo:hi] - bounds[c]).astype(np.uint32)
+            chunks.append(c)
+            idx_b.append(local.tobytes())
+            val_b.append(vals[lo:hi].tobytes())
+            ns.append(count if first else 0)  # count rides on one piece
+            first = False
+        yield pa.RecordBatch.from_pydict(
+            {"chunk": chunks, "idx": idx_b, "vals": val_b, "n": ns},
+            schema=pa.schema(
+                [
+                    ("chunk", pa.int64()),
+                    ("idx", pa.large_binary()),
+                    ("vals", pa.large_binary()),
+                    ("n", pa.int64()),
+                ]
+            ),
+        )
+
+    return sdf.mapInArrow(
+        build_partition, schema="chunk long, idx binary, vals binary, n long"
+    )
+
+
+def _chunked_counting_merge(
+    pieces: DataFrame, capacity: int, error_rate: float, seed: int, num_chunks: int
+) -> CountingBloom:
+    """ONE shuffle: groupBy(chunk) sums every shard's sparse piece of
+    that counter range in parallel (num_chunks-way), emitting dense
+    nibble-packed chunk bytes; the driver concatenates. Unlike a fanin
+    tree, parallelism here is independent of shard count and no task
+    ever holds more than (chunk width + its pieces) in memory."""
+    g = BloomGeometry(capacity, error_rate)
+    size = g.size
+    bounds = np.linspace(0, size, num_chunks + 1).astype(np.int64)
+
+    def merge_chunk(pdf):
+        import pandas as pd
+
+        c = int(pdf.chunk.iloc[0])
+        width = int(bounds[c + 1] - bounds[c])
+        acc = np.zeros(width, dtype=np.int32)
+        for idx_bytes, val_bytes in zip(pdf.idx, pdf.vals):
+            idx = np.frombuffer(idx_bytes, dtype=np.uint32)
+            vals = np.frombuffer(val_bytes, dtype=np.uint8)
+            np.add.at(acc, idx.astype(np.int64), vals.astype(np.int32))
+        np.clip(acc, 0, 15, out=acc)
+        return pd.DataFrame(
+            {
+                "chunk": [c],
+                "dense": [acc.astype(np.uint8).tobytes()],
+                "n": [int(pdf.n.sum())],
+            }
+        )
+
+    out = (
+        pieces.groupBy("chunk")
+        .applyInPandas(merge_chunk, schema="chunk long, dense binary, n long")
+        .collect()
+    )
+    counters = np.zeros(size, dtype=np.uint8)
+    total = 0
+    for r in out:
+        c = r.chunk
+        counters[bounds[c] : bounds[c + 1]] = np.frombuffer(r.dense, dtype=np.uint8)
+        total += r.n
+    return CountingBloom(
+        capacity, error_rate, seed=seed, _counters=counters, _count=total
+    )
+
+
+def counting_bloom_partials(
     df: DataFrame,
     key_col: str,
     capacity: int,
     error_rate: float,
     seed: int = DABLOOMS_SEED,
     num_build_partitions: int | None = None,
-    merge_fanin: int = 64,
-) -> CountingBloom:
-    """Build one counting bloom over a key column, distributed.
-
-    Exactness: the saturating counter-sum merge makes the result
-    bit-identical to a single-process dablooms build over the same
-    keys (any partitioning, any merge order), so no repartition is
-    needed — each input partition builds locally and only blobs move.
-    """
+) -> DataFrame:
+    """Stage 1 only: one partial-filter blob row per input partition
+    (shard, blob, n). Checkpoint this for resumable builds."""
     sdf = df.select(F.col(key_col).alias("key")).filter(F.col("key").isNotNull())
     if num_build_partitions:
         sdf = sdf.repartition(num_build_partitions)
@@ -129,14 +263,45 @@ def build_counting_bloom(
                 schema=_BLOB_SCHEMA_PA,
             )
 
-    blob_df = sdf.mapInArrow(build_partition, schema=_BLOB_SCHEMA)
+    return sdf.mapInArrow(build_partition, schema=_BLOB_SCHEMA)
+
+
+def build_counting_bloom(
+    df: DataFrame,
+    key_col: str,
+    capacity: int,
+    error_rate: float,
+    seed: int = DABLOOMS_SEED,
+    num_build_partitions: int | None = None,
+    merge_fanin: int = 8,
+) -> CountingBloom:
+    """Build one counting bloom over a key column, distributed.
+
+    Exactness: the saturating counter-sum merge makes the result
+    bit-identical to a single-process dablooms build over the same
+    keys (any partitioning, any merge order), so no repartition is
+    needed — each input partition builds locally and only blobs move.
+    """
+    g = BloomGeometry(capacity, error_rate)
+    sdf = df.select(F.col(key_col).alias("key")).filter(F.col("key").isNotNull())
+    if num_build_partitions:
+        sdf = sdf.repartition(num_build_partitions)
+    if g.size > 2_000_000:
+        # wide filter: chunked merge — one shuffle, counter-range
+        # parallelism, no multi-round tree, no fat blobs to the driver
+        num_chunks = max(df.sparkSession.sparkContext.defaultParallelism, 16)
+        pieces = _chunk_pieces_build(sdf, capacity, error_rate, seed, num_chunks)
+        return _chunked_counting_merge(pieces, capacity, error_rate, seed, num_chunks)
+    blob_df = counting_bloom_partials(
+        df, key_col, capacity, error_rate, seed, num_build_partitions
+    )
     filt, _ = _tree_merge(blob_df, seed, merge_fanin)
     if filt is None:
         return CountingBloom(capacity, error_rate, seed=seed)
     return filt
 
 
-def build_scaling_bloom(
+def scaling_bloom_partials(
     df: DataFrame,
     key_col: str,
     id_col: str,
@@ -144,9 +309,9 @@ def build_scaling_bloom(
     error_rate: float,
     seed: int = DABLOOMS_SEED,
     num_shards: int | None = None,
-    merge_fanin: int = 64,
-) -> ScalingBloom:
-    """Build a scaling counting bloom, distributed.
+) -> DataFrame:
+    """Stage 1 of the scaling-bloom build: one blob row per id-range
+    shard (shard, blob, n).
 
     Shards own disjoint, contiguous id ranges (repartitionByRange on
     the id column — ids are the reference's monotone insertion
@@ -161,12 +326,41 @@ def build_scaling_bloom(
         num_shards = spark.sparkContext.defaultParallelism
     eps_shard = error_rate / num_shards
 
-    sdf = (
-        df.select(
-            F.col(key_col).alias("key"), F.col(id_col).cast("long").alias("id")
-        )
-        .filter(F.col("key").isNotNull() & F.col("id").isNotNull())
-        .repartitionByRange(num_shards, "id")
+    sdf = df.select(
+        F.col(key_col).alias("key"), F.col(id_col).cast("long").alias("id")
+    ).filter(F.col("key").isNotNull() & F.col("id").isNotNull())
+
+    # Hash BEFORE the range shuffle: the id routing needs every row to
+    # move to its id-range shard, but only the 128->64-bit hash words
+    # are needed downstream — 16 B/row instead of the full text bytes
+    # (a ~80x shuffle-volume cut on a web corpus).
+    def hash_stage(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column(1).to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(ids) == 0:
+                continue
+            buf, offs, lens = arrow_byte_view(batch.column(0))
+            h1, h2 = dablooms_hash_words_buffer(buf, offs, lens, seed)
+            packed = (h1.astype(np.uint64) << np.uint64(32)) | h2.astype(np.uint64)
+            yield pa.RecordBatch.from_pydict(
+                {"hw": packed.view(np.int64), "id": ids},
+                schema=pa.schema([("hw", pa.int64()), ("id", pa.int64())]),
+            )
+
+    # Explicit id-range bucketing instead of repartitionByRange: the
+    # range partitioner SAMPLES its child, which would execute the
+    # hash stage (and the text scan under it) twice. One column-pruned
+    # min/max pass over ids gives exact bounds; bucket = linear map of
+    # id into [0, num_shards). Buckets are id-disjoint, which is all
+    # the layer-concat merge needs.
+    lo, hi = sdf.agg(F.min("id"), F.max("id")).first()
+    if lo is None:
+        lo, hi = 0, 0
+    width = max((int(hi) - int(lo)) // num_shards + 1, 1)
+    bucket = ((F.col("id") - F.lit(int(lo))) / F.lit(width)).cast("long")
+    hashed = (
+        sdf.mapInArrow(hash_stage, schema="hw long, id long")
+        .repartition(num_shards, bucket)
         .sortWithinPartitions("id")
     )
 
@@ -181,8 +375,9 @@ def build_scaling_bloom(
                 continue
             if sb is None:
                 sb = ScalingBloom(capacity, eps_shard, seed=seed, start_id=int(ids[0]))
-            buf, offs, lens = arrow_byte_view(batch.column(0))
-            h1, h2 = dablooms_hash_words_buffer(buf, offs, lens, seed)
+            hw = batch.column(0).to_numpy(zero_copy_only=False).view(np.uint64)
+            h1 = (hw >> np.uint64(32)).astype(np.uint32)
+            h2 = hw.astype(np.uint32)  # low 32 bits
             sb.add_hashed(h1, h2, ids)
         if sb is not None:
             yield pa.RecordBatch.from_pydict(
@@ -190,7 +385,57 @@ def build_scaling_bloom(
                 schema=_BLOB_SCHEMA_PA,
             )
 
-    blob_df = sdf.mapInArrow(build_partition, schema=_BLOB_SCHEMA)
+    return hashed.mapInArrow(build_partition, schema=_BLOB_SCHEMA)
+
+
+def merge_blobs_df(blob_df: DataFrame, seed: int = DABLOOMS_SEED, fanin: int = 8) -> DataFrame:
+    """Merge a (shard, blob, n) DataFrame down to ONE blob row, fully
+    inside Spark — the result never visits the driver. Chain with a
+    parquet write for the scalable build→checkpoint→broadcast flow
+    (at 10^12 rows the merged filter is GBs; collecting it is the
+    anti-pattern, checkpointing it is the product)."""
+    import math as _math
+
+    def merge_group(pdf):
+        import pandas as pd
+
+        merged = _merge_blobs_to_bytes(list(pdf.blob), seed)
+        return pd.DataFrame(
+            {"shard": [int(pdf.shard.min())], "blob": [merged], "n": [int(pdf.n.sum())]}
+        )
+
+    df = blob_df
+    n = df.count()
+    while n > 1:
+        k = _math.ceil(n / fanin)
+        df = (
+            df.withColumn("g", (F.col("shard") % F.lit(k)).cast("long"))
+            .groupBy("g")
+            .applyInPandas(
+                lambda pdf: merge_group(pdf.assign(shard=pdf.g)), schema=_BLOB_SCHEMA
+            )
+        )
+        n = k
+    return df
+
+
+def build_scaling_bloom(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    capacity: int,
+    error_rate: float,
+    seed: int = DABLOOMS_SEED,
+    num_shards: int | None = None,
+    merge_fanin: int = 8,
+) -> ScalingBloom:
+    """Build a scaling counting bloom, distributed, returning the
+    merged driver-side filter (see scaling_bloom_partials for the
+    sharding/εbudget design; use partials + merge_blobs_df + a
+    checkpoint write when the filter is too big to collect)."""
+    blob_df = scaling_bloom_partials(
+        df, key_col, id_col, capacity, error_rate, seed, num_shards
+    )
     filt, _ = _tree_merge(blob_df, seed, merge_fanin)
     if filt is None:
         return ScalingBloom(capacity, error_rate, seed=seed)

@@ -89,7 +89,7 @@ def sketch_agg(df: DataFrame, col: str, kind: str, **params):
 
     blob_df = sdf.mapInArrow(build, schema="shard long, blob binary, n long")
     # _tree_merge dispatches via blob magic; give it our deserializer
-    sk, _n = _tree_merge(blob_df, seed=0, fanin=64)
+    sk, _n = _tree_merge(blob_df, seed=0, fanin=8)
     if sk is None:
         sk, _ = _make(kind, params)
     return sk

@@ -1,0 +1,143 @@
+"""Sketch checkpoint / restore with manifests, lineage and metrics.
+
+Spark equivalent of the reference's persistence + crash-consistency
+protocol (scaling_bloom_flush src/dablooms.c:≈552: msync the counters,
+THEN advance disk_seqnum; mem_seqnum==0 marks a torn write;
+new_*_from_file reopens ≈L322/≈437):
+
+- blobs are written first, to an immutable per-seqnum parquet
+  directory (one row per shard: shard, blob, n);
+- the manifest JSON is written last, via temp-file + atomic rename —
+  the manifest IS the commit marker (write-ahead order preserved: a
+  crash in between leaves orphan blobs that restore ignores, exactly
+  like a dirty mem_seqnum).
+- each manifest carries run lineage (what was built, from which
+  input, by what config) and per-partition metrics (rows per shard),
+  the north_rule's "resumable from checkpoint with per-partition
+  lineage + metrics".
+
+Resume: sketch merges are associative, so `restore_sketch(...).merge(
+build(new_rows))` equals a fresh build over the union — tested.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dablooms_spark.core.serde import loads
+from dablooms_spark.functions.murmur import DABLOOMS_SEED
+
+
+class CheckpointManager:
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(os.path.join(path, "manifest"), exist_ok=True)
+        os.makedirs(os.path.join(path, "blobs"), exist_ok=True)
+
+    # ---- write side ------------------------------------------------------
+
+    def _next_seqnum(self) -> int:
+        return max(self.seqnums(), default=0) + 1
+
+    def seqnums(self) -> list[int]:
+        mdir = os.path.join(self.path, "manifest")
+        out = []
+        for f in os.listdir(mdir):
+            if f.endswith(".json"):
+                try:
+                    out.append(int(f[:-5]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def commit(
+        self,
+        blob_df: DataFrame,
+        run_id: str,
+        stage: str,
+        lineage: dict | None = None,
+        metrics: dict | None = None,
+    ) -> int:
+        """Write blobs, then atomically publish the manifest."""
+        seqnum = self._next_seqnum()
+        blob_dir = os.path.join(self.path, "blobs", f"seq={seqnum}")
+        blob_df.write.mode("errorifexists").parquet(blob_dir)
+
+        spark = blob_df.sparkSession
+        per_part = [
+            {"shard": r["shard"], "rows": r["n"]}
+            for r in spark.read.parquet(blob_dir).select("shard", "n").collect()
+        ]
+        manifest = {
+            "seqnum": seqnum,
+            "run_id": run_id,
+            "stage": stage,
+            "created_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "blob_dir": blob_dir,
+            "num_partitions": len(per_part),
+            "total_rows": int(sum(p["rows"] for p in per_part)),
+            "partitions": per_part,
+            "lineage": lineage or {},
+            "metrics": metrics or {},
+        }
+        final = os.path.join(self.path, "manifest", f"{seqnum:012d}.json")
+        tmp = final + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh, indent=1, sort_keys=True)
+        os.replace(tmp, final)  # atomic commit marker
+        return seqnum
+
+    # ---- read side -------------------------------------------------------
+
+    def manifest(self, seqnum: int) -> dict:
+        with open(os.path.join(self.path, "manifest", f"{seqnum:012d}.json")) as fh:
+            return json.load(fh)
+
+    def latest(self, run_id: str | None = None) -> dict | None:
+        for s in reversed(self.seqnums()):
+            m = self.manifest(s)
+            if run_id is None or m["run_id"] == run_id:
+                return m
+        return None
+
+    def load_blobs(self, spark: SparkSession, manifest: dict) -> DataFrame:
+        return spark.read.parquet(manifest["blob_dir"])
+
+    def restore_sketch(
+        self, spark: SparkSession, manifest: dict | None = None, seed: int = DABLOOMS_SEED
+    ):
+        """Merged driver-side sketch from the latest (or given) commit."""
+        if manifest is None:
+            manifest = self.latest()
+        if manifest is None:
+            return None
+        rows = self.load_blobs(spark, manifest).select("blob").collect()
+        if not rows:
+            return None
+        sk = loads(rows[0].blob, seed=seed)
+        for r in rows[1:]:
+            sk = sk.merge(loads(r.blob, seed=seed))
+        return sk
+
+
+def checkpoint_sketch(
+    sketch,
+    spark: SparkSession,
+    path: str,
+    run_id: str,
+    stage: str = "final",
+    lineage: dict | None = None,
+    metrics: dict | None = None,
+) -> int:
+    """Convenience: persist a single driver-side sketch object."""
+    mgr = CheckpointManager(path)
+    df = spark.createDataFrame(
+        [(0, bytearray(sketch.to_bytes()), getattr(sketch, "count", 0))],
+        "shard long, blob binary, n long",
+    )
+    return mgr.commit(df, run_id, stage, lineage=lineage, metrics=metrics)

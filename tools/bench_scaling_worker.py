@@ -1,0 +1,149 @@
+"""Scaling-evidence worker: one parallelism level per process.
+
+Run via spark-submit (see tools/bench_scaling.py). Builds the same
+sketch build+merge job over an identical deterministic input at
+local[N]; prints one JSON line with timings. The input partition count
+is fixed (64) so only executor parallelism varies between levels —
+the sandbox stand-in for N vs 4N executors on a real cluster.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def main():
+    cores = int(sys.argv[1])
+    n_rows = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
+    partitions = int(sys.argv[3]) if len(sys.argv) > 3 else 64
+
+    spark = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(f"scaling-bench-{cores}")
+        .config("spark.sql.shuffle.partitions", str(partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from dablooms_spark.operators import build_counting_bloom, build_scaling_bloom
+    from dablooms_spark.sources import synth_webpages
+
+    # The production workload hashes the full extracted TEXT bytes per
+    # page (input_hint's byte-identical-text invariant), not just the
+    # short url — ~1.3 KB of murmur per row. Benching the same shape
+    # keeps the job compute-dominated, as it is on a real cluster.
+    # Input comes from PARQUET (like production): written once outside
+    # the timed region, scanned per trial (parallel decode, page-cache
+    # served) — a single-JVM in-memory cache serializes on the block
+    # manager and understates scan parallelism.
+    import shutil
+    import tempfile
+
+    data_dir = tempfile.mkdtemp() + "/webpages"
+    synth_webpages(spark, n_rows=n_rows, partitions=partitions).select(
+        "text", "row_id"
+    ).write.parquet(data_dir)
+    wp = spark.read.parquet(data_dir)
+    total = wp.count()
+
+    # Warm the Python worker pool (imports of numpy/pyspark/our kernels
+    # happen once per worker); a long-running cluster job amortizes
+    # this — the throughput metric should not count pool spin-up.
+    warm = spark.range(0, partitions * 100, 1, partitions).select(
+        F.col("id").cast("string").alias("url")
+    )
+    build_counting_bloom(warm, "url", 1000, 0.05)
+
+    # Steady-state measurement: first iterations pay JVM JIT + Arrow
+    # + Python-pool ramp that a long-running production job amortizes;
+    # report the best of N trials (all trials recorded).
+    trials = int(os.environ.get("SCALING_TRIALS", "3"))
+    t_counting, t_scaling = [], []
+    from dablooms_spark.core.serde import loads
+    from dablooms_spark.operators.bloom_build import (
+        merge_blobs_df,
+        scaling_bloom_partials,
+    )
+
+    ckpt_root = tempfile.mkdtemp()
+    for trial in range(trials):
+        t0 = time.perf_counter()
+        cb = build_counting_bloom(wp, "text", capacity=n_rows, error_rate=0.01)
+        t_counting.append(time.perf_counter() - t0)
+        assert cb.count == total
+
+        # scaling filter: build -> merge -> durable checkpoint, all
+        # distributed (the filter is the product; at real scale it is
+        # GBs and never visits the driver)
+        out_dir = f"{ckpt_root}/scaling-{trial}"
+        t0 = time.perf_counter()
+        partials = scaling_bloom_partials(
+            wp, "text", "row_id", capacity=200_000, error_rate=0.01,
+            num_shards=partitions,
+        )
+        merged = merge_blobs_df(partials)
+        merged.write.mode("overwrite").parquet(out_dir)
+        t_scaling.append(time.perf_counter() - t0)
+        n_check = spark.read.parquet(out_dir).select("n").first()[0]
+        assert n_check == total, (n_check, total)
+    # correctness spot-check outside timing: restored filter has no FN
+    sb = loads(bytes(spark.read.parquet(out_dir).first().blob))
+    assert sb.count == total
+    shutil.rmtree(ckpt_root, ignore_errors=True)
+    shutil.rmtree(os.path.dirname(data_dir), ignore_errors=True)
+
+    # compute-isolated metric: murmur the text of freshly generated
+    # rows (JVM-side codegen datagen, no input scan/cache) — shows the
+    # kernel's core-scaling without the shared-memory-bus input path
+    from dablooms_spark.functions.arrow_utils import arrow_byte_view
+    from dablooms_spark.functions.murmur import dablooms_hash_words_buffer
+    import pyarrow as pa
+
+    def hash_only(batches):
+        n = 0
+        for batch in batches:
+            buf, offs, lens = arrow_byte_view(batch.column(0))
+            h1, _h2 = dablooms_hash_words_buffer(buf, offs, lens)
+            n += len(h1)
+        yield pa.RecordBatch.from_pydict({"n": [n]}, schema=pa.schema([("n", pa.int64())]))
+
+    t_hash = []
+    gen = synth_webpages(spark, n_rows=n_rows, partitions=partitions).select("text")
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        hashed_n = gen.mapInArrow(hash_only, schema="n long").agg(
+            F.sum("n")
+        ).first()[0]
+        t_hash.append(time.perf_counter() - t0)
+        assert hashed_n == total
+
+    out = {
+        "cores": cores,
+        "rows": total,
+        "hash_kernel_sec": round(min(t_hash), 3),
+        "hash_kernel_docs_per_sec": round(total / min(t_hash), 1),
+        "hash_trials_sec": [round(t, 3) for t in t_hash],
+        "counting_build_sec": round(min(t_counting), 3),
+        "scaling_build_sec": round(min(t_scaling), 3),
+        "counting_docs_per_sec": round(total / min(t_counting), 1),
+        "scaling_docs_per_sec": round(total / min(t_scaling), 1),
+        "counting_trials_sec": [round(t, 3) for t in t_counting],
+        "scaling_trials_sec": [round(t, 3) for t in t_scaling],
+    }
+    spark.stop()
+    print("SCALING_RESULT " + json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -254,6 +254,65 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(docs, "blob", "doc_id", fake=True)
 
 
+# ---- relational category coverage (SURVEY.md §2.2: Catalyst built-ins) ----
+
+
+def _q_window_top_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions: each user's highest-value event."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", F.col("value").alias("top_value"))
+    )
+
+
+def _q_rollup_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup hierarchy: counts by (event_type, day), (event_type), ()."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.withColumn("day", F.date_trunc("day", "ts").cast("date"))
+        .rollup("event_type", "day")
+        .agg(F.count("*").alias("cnt"))
+        .select("event_type", F.col("day").cast("string").alias("day"), "cnt")
+    )
+
+
+def _q_set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: users who clicked but never purchased."""
+    events = load_table(spark, sf_dir, "events")
+    clicks = (
+        events.filter("event_type = 'click' AND value > 90")
+        .select("user_id")
+        .distinct()
+    )
+    buys = (
+        events.filter("event_type = 'purchase' AND value > 90")
+        .select("user_id")
+        .distinct()
+    )
+    return clicks.subtract(buys).select("user_id")
+
+
+def _q_hourly_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time bucketing + multi-aggregate: hourly event stats."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.withColumn("hour", F.date_trunc("hour", "ts").cast("string"))
+        .groupBy("hour")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.min("event_id").alias("first_event"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bloom_semi_join_orders": _q_bloom_semi_join_orders,
@@ -275,6 +334,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": _q_lsh_ann_topk,
         "media_meta_docs": _q_media_meta,
         "media_features_docs": _q_media_features,
+        "window_top_event": _q_window_top_event,
+        "rollup_event_counts": _q_rollup_event_counts,
+        "set_ops_users": _q_set_ops_users,
+        "hourly_value_stats": _q_hourly_value_stats,
     }
 
 
@@ -394,6 +457,39 @@ def oracle_sql() -> dict[str, str]:
                         WHEN substr(text,1,4) = '<htm' THEN 'text/html'
                         ELSE 'application/octet-stream' END AS media_mime
             FROM documents
+        """,
+        "window_top_event": """
+            SELECT user_id, event_id, value AS top_value
+            FROM (
+                SELECT user_id, event_id, value,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY value DESC, event_id ASC
+                       ) AS rn
+                FROM events
+            ) WHERE rn = 1
+        """,
+        "rollup_event_counts": """
+            SELECT event_type,
+                   CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
+                   count(*) AS cnt
+            FROM events
+            GROUP BY ROLLUP (event_type, CAST(date_trunc('day', ts) AS DATE))
+        """,
+        "set_ops_users": """
+            SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'click' AND value > 90
+            EXCEPT
+            SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'purchase' AND value > 90
+        """,
+        "hourly_value_stats": """
+            SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour,
+                   count(*) AS cnt,
+                   round(sum(value), 4) AS sum_value,
+                   min(event_id) AS first_event
+            FROM events
+            GROUP BY 1
         """,
         # hll_distinct_by_type / value_quantiles_* / minhash_dedup_pairs /
         # simhash_pairs / lsh_ann_topk / media_features_docs are

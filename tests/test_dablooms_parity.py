@@ -1,0 +1,139 @@
+"""Reference test-suite parity (public src/test_dablooms.c §SURVEY 5.1
+and pydablooms/test_pydablooms.py), on the words fixture from
+FIXTURES.md §2: ~235k distinct pseudo-words against capacity 100,000
+at ε = 0.05 — the reference's exact configuration, which forces
+multi-layer growth. Plus the Spark-side distributed remove."""
+
+import random
+
+import numpy as np
+import pytest
+
+from dablooms_spark.compat import create_dablooms, load_dablooms
+
+CAPACITY = 100_000
+ERROR_RATE = 0.05
+N_WORDS = 235_000
+
+
+@pytest.fixture(scope="module")
+def words():
+    rng = random.Random(42)
+    seen = set()
+    out = []
+    while len(out) < N_WORDS:
+        ln = rng.randrange(3, 25)
+        w = "".join(chr(rng.randrange(97, 123)) for _ in range(ln))
+        if w not in seen:
+            seen.add(w)
+            out.append(w.encode())
+    return out
+
+
+class Stats:
+    """Mirror of the reference's bloom_score harness
+    (test_dablooms.c:≈40-70): a false negative is a hard error."""
+
+    def __init__(self):
+        self.tp = self.tn = self.fp = 0
+
+    def score(self, positive: np.ndarray, should: np.ndarray):
+        fn = np.count_nonzero(~positive & should)
+        assert fn == 0, f"ERROR: {fn} false negatives — bloom invariant broken"
+        self.tp += int(np.count_nonzero(positive & should))
+        self.fp += int(np.count_nonzero(positive & ~should))
+        self.tn += int(np.count_nonzero(~positive & ~should))
+
+    @property
+    def fp_rate(self):
+        return self.fp / (self.fp + self.tn) if (self.fp + self.tn) else 0.0
+
+
+def test_scaling_accuracy_words(words, tmp_path):
+    """test_scaling_accuracy (≈L255): add every other word with
+    increasing id, check all; observed FP rate <= ERROR_RATE."""
+    d = create_dablooms(CAPACITY, ERROR_RATE, str(tmp_path / "acc.bin"))
+    evens = words[::2]
+    d.add_many(evens, np.arange(len(evens)))
+    assert len(d.filter.layers) >= 2  # 117.5k inserts > capacity → growth
+
+    stats = Stats()
+    verdict = d.check_many(words)
+    should = np.zeros(len(words), dtype=bool)
+    should[::2] = True
+    stats.score(verdict, should)
+    assert stats.fp_rate <= ERROR_RATE, f"fp_rate {stats.fp_rate}"
+
+
+def test_scaling_remove_reopen_words(words, tmp_path):
+    """test_scaling_remove_reopen (≈L175): add all (→ ≥3 layers),
+    remove every other by id, flush, reopen, verify."""
+    path = str(tmp_path / "sc.bin")
+    d = create_dablooms(CAPACITY, ERROR_RATE, path)
+    ids = np.arange(len(words))
+    d.add_many(words, ids)
+    assert len(d.filter.layers) >= 3
+    d.delete_many(words[::2], ids[::2])
+    d.flush()
+
+    d2 = load_dablooms(CAPACITY, ERROR_RATE, path)
+    stats = Stats()
+    verdict = d2.check_many(words)
+    should = np.zeros(len(words), dtype=bool)
+    should[1::2] = True  # kept the odds
+    stats.score(verdict, should)
+    assert stats.fp_rate <= ERROR_RATE, f"fp_rate {stats.fp_rate}"
+
+
+def test_single_key_binding_surface(tmp_path):
+    """pydablooms binding smoke: add/delete/check/__contains__/flush/
+    load round trip on single keys (test_pydablooms.py protocol)."""
+    path = str(tmp_path / "b.bin")
+    d = create_dablooms(1000, 0.05, path)
+    for i, k in enumerate([b"foo", b"bar", b"baz"]):
+        assert d.add(k, i)
+    assert d.check(b"foo") and b"bar" in d
+    d.delete(b"foo", 0)
+    assert not d.check(b"foo")
+    d.flush()
+    d2 = load_dablooms(1000, 0.05, path)
+    assert b"bar" in d2 and b"baz" in d2 and b"foo" not in d2
+    with pytest.raises(ValueError):
+        load_dablooms(999, 0.05, path)  # config mismatch is detected
+
+
+def test_layer_error_schedule_matches_reference(words, tmp_path):
+    """ERROR_TIGHTENING_RATIO=0.5 schedule (src/dablooms.c:≈19,≈358):
+    layer i error = ε0 · 0.5^(i+1), constant capacity per layer."""
+    d = create_dablooms(CAPACITY, ERROR_RATE, str(tmp_path / "x.bin"))
+    d.add_many(words, np.arange(len(words)))
+    for i, layer in enumerate(d.filter.layers):
+        assert layer.geometry.error_rate == pytest.approx(ERROR_RATE * 0.5 ** (i + 1))
+        assert layer.geometry.capacity == CAPACITY
+        assert layer.count <= CAPACITY - 1
+
+
+def test_distributed_remove(spark, tmp_path):
+    """Spark-side deletions DataFrame applied to a distributed-built
+    filter: removed keys report absent (mod FP), kept keys all present."""
+    from pyspark.sql import functions as F
+
+    from dablooms_spark.operators import build_scaling_bloom, build_counting_bloom
+    from dablooms_spark.operators.bloom_remove import bloom_remove
+
+    df = spark.range(5000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("key"), F.col("id")
+    )
+    filt = build_scaling_bloom(df, "key", "id", capacity=1000, error_rate=0.05,
+                               num_shards=4)
+    dels = df.filter("id % 2 = 0")
+    bloom_remove(filt, dels, "key", "id")
+    kept = [f"k{i}".encode() for i in range(1, 5000, 2)]
+    gone = [f"k{i}".encode() for i in range(0, 5000, 2)]
+    assert filt.check(kept).all()
+    assert filt.check(gone).mean() <= 0.05 * 1.2
+
+    cfilt = build_counting_bloom(df, "key", capacity=5000, error_rate=0.05)
+    bloom_remove(cfilt, dels, "key")
+    assert cfilt.check(kept).all()
+    assert cfilt.check(gone).mean() <= 0.05 * 1.2

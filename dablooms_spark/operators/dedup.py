@@ -43,6 +43,19 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def _list_offsets(series: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """(flat int64 values, int64 offsets) from a pandas Series of
+    lists, via one Arrow conversion — no per-row Python."""
+    import pyarrow as pa
+
+    arr = pa.array(series, type=pa.list_(pa.int64()))
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.values.to_numpy(zero_copy_only=False).astype(np.uint64)
+    offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    return flat, offsets
+
+
 def _minhash_udf(num_perms: int, seed: int):
     rng = np.random.RandomState(seed)
     a = rng.randint(1, _MERSENNE, size=num_perms, dtype=np.int64).astype(np.uint64)
@@ -51,18 +64,102 @@ def _minhash_udf(num_perms: int, seed: int):
     @pandas_udf("array<long>")
     def minhash(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for series in it:
-            out = []
-            for sh in series:
-                h = np.asarray(sh, dtype=np.uint64)
-                if len(h) == 0:
-                    out.append(np.zeros(num_perms, dtype=np.int64))
-                    continue
-                with np.errstate(over="ignore"):
-                    m = (a[None, :] * h[:, None] + b[None, :]) % np.uint64(_MERSENNE)
-                out.append(m.min(axis=0).astype(np.int64))
-            yield pd.Series(out)
+            n = len(series)
+            if n == 0:
+                yield pd.Series([], dtype=object)
+                continue
+            flat, offsets = _list_offsets(series)
+            starts = offsets[:-1]
+            empty = offsets[1:] == starts
+            sig = np.zeros((n, num_perms), dtype=np.int64)
+            # vectorize over documents: one (a_j*h+b_j)%P pass + one
+            # segmented min (reduceat) per permutation
+            safe_starts = np.minimum(starts, max(len(flat) - 1, 0))
+            with np.errstate(over="ignore"):
+                for j in range(num_perms):
+                    vals = (a[j] * flat + b[j]) % np.uint64(_MERSENNE)
+                    if len(flat):
+                        mins = np.minimum.reduceat(vals, safe_starts)
+                        sig[:, j] = mins.astype(np.int64)
+            sig[empty] = 0
+            yield pd.Series(list(sig))
 
     return minhash
+
+
+_ROLL_C = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd multiplier
+
+
+def _sig_udf(k: int, num_perms: int, seed: int):
+    """One UDF computing k-gram rolling-hash shingles AND MinHash
+    signatures from per-token hashes.
+
+    Input: array<long> token hashes (hashed JVM-side — one xxhash64
+    per token). The k-gram hash is the polynomial
+    Σ_j tok[i+j]·C^j (mod 2^64), built with k global shifted
+    multiply-adds over the flattened token buffer — no string slicing
+    or concatenation (the naive Catalyst `slice`+`concat_ws` shingle
+    expression was ~70% of dedup wall time). Documents shorter than k
+    tokens contribute one truncated gram. Output: struct(shingles
+    array<long> distinct, sig array<long>).
+    """
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_perms, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, _MERSENNE, size=num_perms, dtype=np.int64).astype(np.uint64)
+
+    @pandas_udf("struct<shingles: array<long>, sig: array<long>>")
+    def sig(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for series in it:
+            n = len(series)
+            if n == 0:
+                yield pd.DataFrame({"shingles": [], "sig": []})
+                continue
+            flat, offsets = _list_offsets(series)
+            starts, ends = offsets[:-1], offsets[1:]
+            lens = ends - starts
+            m = len(flat)
+            with np.errstate(over="ignore"):
+                rolled = np.zeros(m, dtype=np.uint64)
+                cj = np.uint64(1)
+                for j in range(k):
+                    if j < m:
+                        rolled[: m - j] += flat[j:] * cj
+                    cj *= _ROLL_C
+                # valid gram start positions: i such that i+k <= doc end
+                doc_of = np.repeat(np.arange(n), lens)
+                pos_in_doc = np.arange(m) - np.repeat(starts, lens)
+                valid = pos_in_doc <= (np.repeat(lens, lens) - k)
+                # short docs (< k tokens): one truncated gram at start
+                short = lens[doc_of] < k
+                valid |= short & (pos_in_doc == 0)
+
+            shingles_out, sig_out = [], []
+            vflat = rolled[valid]
+            vdoc = doc_of[valid]
+            # segment boundaries of valid grams per doc
+            gram_counts = np.bincount(vdoc, minlength=n)
+            gstarts = np.zeros(n, dtype=np.int64)
+            np.cumsum(gram_counts[:-1], out=gstarts[1:])
+            safe_g = np.minimum(gstarts, max(len(vflat) - 1, 0))
+            empty = gram_counts == 0
+            sigm = np.zeros((n, num_perms), dtype=np.int64)
+            with np.errstate(over="ignore"):
+                for j in range(num_perms):
+                    vals = (a[j] * vflat + b[j]) % np.uint64(_MERSENNE)
+                    if len(vflat):
+                        sigm[:, j] = np.minimum.reduceat(vals, safe_g).astype(
+                            np.int64
+                        )
+            sigm[empty] = 0
+            bounds = np.concatenate([gstarts, [len(vflat)]])
+            signed = vflat.view(np.int64)
+            for i in range(n):
+                lo, hi = bounds[i], bounds[i + 1]
+                shingles_out.append(np.unique(signed[lo:hi]))
+                sig_out.append(sigm[i])
+            yield pd.DataFrame({"shingles": shingles_out, "sig": sig_out})
+
+    return sig
 
 
 def minhash_signatures(
@@ -73,12 +170,14 @@ def minhash_signatures(
     num_perms: int = 64,
     seed: int = 42,
 ) -> DataFrame:
-    """(id, shingles array<long>, sig array<long>)."""
-    mh = _minhash_udf(num_perms, seed)
-    return (
-        df.select(F.col(id_col), shingle_hashes(text_col, k=k).alias("shingles"))
-        .withColumn("sig", mh("shingles"))
-    )
+    """(id, shingles array<long>, sig array<long>). Token hashing is
+    JVM-side (one xxhash64 per token); shingling and MinHash run in
+    one vectorized Arrow UDF (see _sig_udf)."""
+    tok_hashes = F.transform(F.split(F.col(text_col), " "), lambda t: F.xxhash64(t))
+    sig = _sig_udf(k, num_perms, seed)
+    return df.select(
+        F.col(id_col), sig(tok_hashes).alias("ss")
+    ).select(id_col, F.col("ss.shingles").alias("shingles"), F.col("ss.sig").alias("sig"))
 
 
 def minhash_lsh_dedup(
@@ -99,16 +198,15 @@ def minhash_lsh_dedup(
     r = num_perms // bands
     sigs = minhash_signatures(df, text_col, id_col, k, num_perms, seed).persist()
 
+    # 8-byte band keys: xxhash64 over (band index, signature slice)
+    # keeps the candidate self-join narrow (a string band key is ~60
+    # bytes per row-band at 64 perms)
     band_rows = sigs.select(
         F.col(id_col),
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda bi: F.concat_ws(
-                    ",",
-                    F.concat(bi.cast("string"), F.lit(":")),
-                    F.concat_ws(",", F.slice(F.col("sig"), bi * r + 1, r)),
-                ),
+                lambda bi: F.xxhash64(bi, F.slice(F.col("sig"), bi * r + 1, r)),
             )
         ).alias("band_key"),
     )
@@ -163,19 +261,28 @@ def simhash_fingerprints(
 
     @pandas_udf("long")
     def fold(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        bits = np.arange(64, dtype=np.uint64)
         for series in it:
-            out = np.zeros(len(series), dtype=np.int64)
-            for i, hs in enumerate(series):
-                h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
-                if len(h) == 0:
-                    continue
-                onebits = ((h[:, None] >> bits[None, :]) & np.uint64(1)).sum(axis=0)
-                fp = np.uint64(0)
-                maj = onebits * 2 > len(h)
-                fp = np.sum(np.where(maj, np.uint64(1) << bits, np.uint64(0)), dtype=np.uint64)
-                out[i] = np.int64(fp.astype(np.int64))
-            yield pd.Series(out)
+            n = len(series)
+            if n == 0:
+                yield pd.Series([], dtype="int64")
+                continue
+            flat, offsets = _list_offsets(series)
+            starts = offsets[:-1]
+            lens = offsets[1:] - starts
+            safe_starts = np.minimum(starts, max(len(flat) - 1, 0))
+            fp = np.zeros(n, dtype=np.uint64)
+            # one segmented popcount-sum per bit position (64 passes),
+            # no per-document Python
+            for j in range(64):
+                bitvals = ((flat >> np.uint64(j)) & np.uint64(1)).astype(np.int64)
+                ones = (
+                    np.add.reduceat(bitvals, safe_starts)
+                    if len(flat)
+                    else np.zeros(n, dtype=np.int64)
+                )
+                maj = (ones * 2 > lens) & (lens > 0)
+                fp |= np.where(maj, np.uint64(1) << np.uint64(j), np.uint64(0))
+            yield pd.Series(fp.view(np.int64))
 
     return df.select(F.col(id_col), fold(tok_hashes).alias("simhash"))
 

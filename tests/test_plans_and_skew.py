@@ -142,3 +142,22 @@ def test_streaming_incremental_bloom(spark, tmp_path_factory):
     for f in filters:
         verdict |= f.check(keys)
     assert verdict.all(), "false negative in streamed filter"
+
+def test_webtable_partition_pruning(spark, tmp_path_factory):
+    """Iceberg-style layout: a lang filter must prune partitions at
+    the file-listing level (PartitionFilters in the scan node)."""
+    from dablooms_spark.sources.webtable import read_webpages, write_webpages
+
+    path = str(tmp_path_factory.mktemp("webtable")) + "/webpages"
+    wp = synth_webpages(spark, n_rows=3_000, partitions=4)
+    write_webpages(wp, path)
+
+    en = read_webpages(spark, path, langs=["en"])
+    plan = _formatted_plan(en.select("url"))
+    part_filters = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert part_filters and "lang" in part_filters[0], plan
+    # pruned scan really reads only en rows
+    assert en.count() == wp.filter("lang = 'en'").count()
+    # and never the html column for a url-only projection
+    scan = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan and "html" not in scan[0]

@@ -1,0 +1,75 @@
+"""JVM Datasketches wrappers: estimates must agree with exact answers
+and with the engine's own numpy sketches within error bounds."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dablooms_spark.operators.builtin_sketches import (
+    cms_sketch,
+    hll_distinct_by,
+    hll_sketch_column,
+    hll_union,
+    kll_quantiles_by,
+    theta_distinct,
+)
+from dablooms_spark.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+def test_builtin_hll_vs_exact_and_numpy(spark, events):
+    exact = {
+        r.event_type: r.d
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    builtin = {
+        r[0]: r.approx_distinct
+        for r in hll_distinct_by(events, "event_type", "user_id").collect()
+    }
+    from dablooms_spark.operators.sketch_agg import approx_distinct_by
+
+    numpy_est = {
+        r[0]: r.approx_distinct
+        for r in approx_distinct_by(events, "event_type", "user_id", p=14).collect()
+    }
+    for k, v in exact.items():
+        assert abs(builtin[k] - v) / max(v, 1) < 0.05
+        assert abs(numpy_est[k] - v) / max(v, 1) < 0.05
+
+
+def test_builtin_hll_blob_union(spark, events):
+    """Two-stage: per-type sketch blobs, then union — the mergeable
+    workflow (daily → monthly rollups)."""
+    blobs = hll_sketch_column(events, "event_type", "user_id")
+    est = hll_union(blobs).first().approx_distinct
+    exact = events.select(F.countDistinct("user_id")).first()[0]
+    assert abs(est - exact) / exact < 0.05
+
+
+def test_builtin_kll_quantiles(spark, events):
+    got = kll_quantiles_by(events, "event_type", "value", [0.5, 0.9]).collect()
+    exact = {
+        (r.event_type, q): v
+        for r in events.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.5)").alias("q50"),
+            F.expr("percentile(value, 0.9)").alias("q90"),
+        )
+        .collect()
+        for q, v in ((0.5, r.q50), (0.9, r.q90))
+    }
+    for r in got:
+        assert r.value == pytest.approx(exact[(r.event_type, r.q)], rel=0.1)
+
+
+def test_builtin_cms_and_theta(spark, events):
+    blob = cms_sketch(events, "event_type")
+    assert isinstance(blob, bytes) and len(blob) > 0
+    d = theta_distinct(events, "user_id")
+    exact = events.select(F.countDistinct("user_id")).first()[0]
+    assert abs(d - exact) / exact < 0.05

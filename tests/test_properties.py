@@ -1,0 +1,113 @@
+"""Property-based tests (hypothesis): hash parity on arbitrary bytes,
+counter saturation/underflow invariants, merge associativity, serde
+round-trips, quantile rank-error bounds."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from dablooms_spark.core import CountingBloom, HyperLogLog, KLLSketch
+from dablooms_spark.functions.murmur import (
+    murmur3_x64_128,
+    murmur3_x64_128_scalar,
+)
+
+KEYS = st.lists(st.binary(min_size=0, max_size=200), min_size=1, max_size=40)
+
+
+@settings(max_examples=40, deadline=None)
+@given(keys=KEYS, seed=st.integers(min_value=0, max_value=2**32 - 1))
+def test_murmur_vectorized_equals_scalar(keys, seed):
+    o1, o2 = murmur3_x64_128(keys, seed)
+    for i, k in enumerate(keys):
+        assert (int(o1[i]), int(o2[i])) == murmur3_x64_128_scalar(k, seed)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    keys=st.lists(st.binary(min_size=1, max_size=40), min_size=1, max_size=200),
+    nparts=st.integers(min_value=1, max_value=5),
+)
+def test_counting_merge_associative_and_exact(keys, nparts):
+    """Any partitioning + any merge order == single build, bit-exact."""
+    single = CountingBloom(256, 0.05)
+    single.add(keys)
+    parts = [keys[i::nparts] for i in range(nparts)]
+    shards = []
+    for p in parts:
+        cb = CountingBloom(256, 0.05)
+        cb.add(p)
+        shards.append(cb)
+    left = shards[0]
+    for s in shards[1:]:
+        left = left.merge(s)
+    assert left.to_bytes() == single.to_bytes()
+    assert CountingBloom.merge_blobs([s.to_bytes() for s in shards]).to_bytes() == (
+        single.to_bytes()
+    )
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    keys=st.lists(st.binary(min_size=1, max_size=30), min_size=1, max_size=100),
+    extra_removes=st.integers(min_value=0, max_value=20),
+)
+def test_counter_never_negative_and_no_fn(keys, extra_removes):
+    cb = CountingBloom(128, 0.05)
+    cb.add(keys)
+    assert cb.check(keys).all()  # no false negatives, ever
+    cb.remove(keys[:extra_removes])  # may over-remove keys added once
+    cb.remove(keys[:extra_removes])
+    assert cb.counters.min() >= 0
+    assert cb.counters.max() <= 15
+
+
+@settings(max_examples=20, deadline=None)
+@given(keys=st.lists(st.binary(min_size=1, max_size=50), min_size=1, max_size=300))
+def test_serde_roundtrip_bitexact(keys):
+    cb = CountingBloom(512, 0.03)
+    cb.add(keys)
+    assert CountingBloom.from_bytes(cb.to_bytes()).to_bytes() == cb.to_bytes()
+    h = HyperLogLog(p=8)
+    h.add(keys)
+    assert HyperLogLog.from_bytes(h.to_bytes()).to_bytes() == h.to_bytes()
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    data=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        min_size=50,
+        max_size=2000,
+    ),
+    q=st.floats(min_value=0.05, max_value=0.95),
+)
+def test_kll_rank_error_bound(data, q):
+    sk = KLLSketch(k=200)
+    sk.add(np.array(data))
+    est = float(sk.quantile(q)[0])
+    arr = np.array(data)
+    rank = float(np.mean(arr <= est))
+    # normalized rank error for k=200 is ~1.3%; allow generous 6% + ties
+    assert rank >= q - 0.06 or est <= arr.min()
+    assert float(np.mean(arr < est)) <= q + 0.06 or est >= arr.max()
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    keys=st.lists(st.binary(min_size=1, max_size=30), min_size=1, max_size=500),
+    split=st.integers(min_value=1, max_value=7),
+)
+def test_hll_merge_commutes(keys, split):
+    parts = [keys[i::split] for i in range(split)]
+    hs = []
+    for p in parts:
+        h = HyperLogLog(p=10)
+        h.add(p)
+        hs.append(h)
+    fwd = hs[0]
+    for h in hs[1:]:
+        fwd = fwd.merge(h)
+    rev = hs[-1]
+    for h in reversed(hs[:-1]):
+        rev = rev.merge(h)
+    assert fwd.to_bytes() == rev.to_bytes()

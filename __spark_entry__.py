@@ -313,6 +313,31 @@ def _q_hourly_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct hierarchy from ONE scan (sketch algebra for the
+    coarser levels) — approximate, rows-only; grounded by
+    rollup_distinct_exact below."""
+    from dablooms_spark.operators.sketch_agg import rollup_distinct
+
+    docs = load_table(spark, sf_dir, "documents")
+    return rollup_distinct(docs, ["lang", "source"], "text", p=14)
+
+
+def _q_rollup_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.rollup("lang", "source").agg(
+        F.countDistinct("text").alias("distinct_texts")
+    )
+
+
+def _q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dablooms_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(emb, queries_df, k=5, num_centroids=8, nprobe=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bloom_semi_join_orders": _q_bloom_semi_join_orders,
@@ -338,6 +363,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_event_counts": _q_rollup_event_counts,
         "set_ops_users": _q_set_ops_users,
         "hourly_value_stats": _q_hourly_value_stats,
+        "hll_rollup_distinct": _q_hll_rollup,
+        "rollup_distinct_exact": _q_rollup_distinct_exact,
+        "ivf_ann_topk": _q_ivf_ann_topk,
     }
 
 
@@ -491,8 +519,13 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY 1
         """,
+        "rollup_distinct_exact": """
+            SELECT lang, source, count(DISTINCT text) AS distinct_texts
+            FROM documents
+            GROUP BY ROLLUP (lang, source)
+        """,
         # hll_distinct_by_type / value_quantiles_* / minhash_dedup_pairs /
-        # simhash_pairs / lsh_ann_topk / media_features_docs are
-        # approximate or not SQL-expressible → rows-only driver checks;
-        # pytest asserts their accuracy/recall bounds.
+        # simhash_pairs / lsh_ann_topk / ivf_ann_topk / hll_rollup_distinct /
+        # media_features_docs are approximate or not SQL-expressible →
+        # rows-only driver checks; pytest asserts accuracy/recall bounds.
     }

@@ -176,6 +176,82 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style ANN: corpus vectors are assigned to their nearest
+    centroid (inverted lists); a query searches only its `nprobe`
+    nearest centroids' lists with exact cosine re-ranking.
+
+    Centroids come from a deterministic hash-sample of the corpus
+    (k-means would need iterative passes; hash-sampling is the
+    one-scan approximation and keeps the operator deterministic).
+    At scale the corpus would be bucketed/written by centroid id so a
+    query's probe is a partition-pruned read; here the assignment is a
+    JVM-joinable column. Approximate recall (rows-only check).
+    """
+    spark = corpus.sparkSession
+    # deterministic centroid sample: smallest xxhash64(id) wins
+    sample = (
+        corpus.select(id_col, vec_col)
+        .withColumn("__h", F.xxhash64(F.col(id_col), F.lit(seed)))
+        .orderBy("__h")
+        .limit(num_centroids)
+        .collect()
+    )
+    cent = _normalize(np.array([r[vec_col] for r in sample], dtype=np.float64))
+    bc = spark.sparkContext.broadcast(cent)
+
+    def assign_udf(n_take: int):
+        @pandas_udf("array<long>")
+        def assign(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+            c = bc.value
+            for series in it:
+                m = _to_matrix(pa.array(series), np.float64)
+                if m.shape[0] == 0:
+                    yield pd.Series([], dtype=object)
+                    continue
+                sims = _normalize(m) @ c.T  # (n, C)
+                take = min(n_take, sims.shape[1])
+                top = np.argpartition(-sims, take - 1, axis=1)[:, :take]
+                yield pd.Series(list(top.astype(np.int64)))
+
+        return assign
+
+    c_assigned = corpus.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    ).withColumn("cell", F.element_at(assign_udf(1)(F.col("cvec")), 1))
+    q_assigned = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    ).withColumn("cell", F.explode(assign_udf(nprobe)(F.col("qvec"))))
+
+    joined = q_assigned.join(c_assigned, "cell")
+    dot = F.aggregate(
+        F.zip_with("qvec", "cvec", lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
+    )
+    qn = F.sqrt(F.aggregate("qvec", F.lit(0.0), lambda a, x: a + x * x))
+    cn = F.sqrt(F.aggregate("cvec", F.lit(0.0), lambda a, x: a + x * x))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        joined.select(
+            "query_id",
+            F.col("cid").alias("neighbor_id"),
+            (dot / (qn * cn)).alias("sim"),
+        )
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"))
+    )
+
+
 def embedding_neardup_pairs(
     corpus: DataFrame,
     min_sim: float = 0.95,

@@ -170,6 +170,90 @@ def grouped_sketch_agg(
     )
 
 
+def sketch_rollup(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    kind: str,
+    **params,
+) -> DataFrame:
+    """Sketch hierarchy: one blob per grouping level of a rollup —
+    (c1, c2, ..., blob, n) with NULLs marking rolled-up levels, like
+    SQL ROLLUP.
+
+    The input is scanned ONCE (finest-level grouped sketches); every
+    coarser level is produced by merging child blobs — kilobytes per
+    group — instead of re-aggregating rows. This is the pattern that
+    makes per-(lang, host) → per-lang → global cardinality hierarchies
+    affordable at 10^12 rows: the raw data is touched once, the
+    hierarchy is sketch algebra.
+    """
+    assert group_cols, "need at least one group column"
+    finest = grouped_sketch_agg(
+        df.withColumn(
+            "__g", F.concat_ws("\x1f", *[F.col(c).cast("string") for c in group_cols])
+        ),
+        "__g",
+        value_col,
+        kind,
+        **params,
+    )
+    split = F.split(F.col("__g"), "\x1f")
+    finest = finest.select(
+        *[split.getItem(i).alias(c) for i, c in enumerate(group_cols)],
+        "blob",
+        "n",
+    ).persist()
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = _loads_any(pdf.blob.iloc[0])
+        for b in pdf.blob.iloc[1:]:
+            sk = sk.merge(_loads_any(b))
+        out = {c: [pdf[c].iloc[0]] for c in pdf.columns if c not in ("blob", "n")}
+        out["blob"] = [sk.to_bytes()]
+        out["n"] = [int(pdf.n.sum())]
+        return pd.DataFrame(out)
+
+    levels = [finest]
+    current = finest
+    schema_cols = ", ".join(f"{c} string" for c in group_cols)
+    for depth in range(len(group_cols) - 1, -1, -1):
+        # null out the rolled-up dimensions, merge the parent level's
+        # blobs per remaining key — each level is sketch algebra over
+        # the level above, never a rescan
+        nulled = current
+        for c in group_cols[depth:]:
+            nulled = nulled.withColumn(c, F.lit(None).cast("string"))
+        level = nulled.groupBy(*group_cols).applyInPandas(
+            merge_group, schema=f"{schema_cols}, blob binary, n long"
+        )
+        levels.append(level)
+        current = level
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out
+
+
+def rollup_distinct(
+    df: DataFrame, group_cols: list[str], key_col: str, p: int = 14
+) -> DataFrame:
+    """HLL distinct-count hierarchy: (group_cols..., approx_distinct)
+    for every rollup level, input scanned once."""
+    blobs = sketch_rollup(df, group_cols, key_col, "hll", p=p)
+    schema_cols = ", ".join(f"{c} string" for c in group_cols)
+
+    def estimate(pdf: pd.DataFrame) -> pd.DataFrame:
+        ests = [int(round(HyperLogLog.from_bytes(b).estimate())) for b in pdf.blob]
+        out = {c: pdf[c] for c in group_cols}
+        out["approx_distinct"] = ests
+        return pd.DataFrame(out)
+
+    return blobs.groupBy(*group_cols).applyInPandas(
+        estimate, schema=f"{schema_cols}, approx_distinct long"
+    )
+
+
 # ---------------------------------------------------------------------------
 # High-level estimates
 # ---------------------------------------------------------------------------

@@ -254,3 +254,18 @@ def test_sample_frames(spark):
     assert len(by_id[1]) == 2  # 10000 // 4096 = 2 frames
     assert len(by_id[2]) == 1  # short blob still yields one frame
     assert by_id[2][0].frame_bytes == 100
+
+
+def test_ivf_topk_recall(spark, emb):
+    from dablooms_spark.operators.similarity import ivf_topk
+
+    queries = emb.filter("vec_id < 20")
+    exact = brute_force_topk(emb, queries, k=5)
+    approx = ivf_topk(emb, queries, k=5, num_centroids=8, nprobe=3)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall > 0.3, f"IVF recall collapsed: {recall}"
+    # self-hit: each query's own vector shares its cell → sim 1.0 found
+    self_hits = {r.query_id for r in approx.collect() if r.neighbor_id == r.query_id}
+    assert len(self_hits) == 20

@@ -96,3 +96,22 @@ def test_grouped_blob_counts(spark, events):
     rows = blobs.collect()
     total = sum(r.n for r in rows)
     assert total == events.filter("user_id is not null").count()
+
+
+def test_sketch_rollup_hierarchy(spark, events):
+    """HLL hierarchy from one scan: finest (type, day-bucket), per-type,
+    global — estimates agree with exact rollup."""
+    from dablooms_spark.operators.sketch_agg import rollup_distinct
+
+    ev = events.withColumn("bucket", (F.col("user_id") % 3).cast("string"))
+    got = rollup_distinct(ev, ["event_type", "bucket"], "user_id", p=14)
+    rows = {(r.event_type, r.bucket): r.approx_distinct for r in got.collect()}
+    exact = {
+        (r.event_type, r.bucket): r.d
+        for r in ev.rollup("event_type", "bucket")
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    assert set(rows) == set(exact)
+    for key, v in exact.items():
+        assert abs(rows[key] - v) / max(v, 1) < 0.05, key

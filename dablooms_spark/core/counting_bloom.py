@@ -113,6 +113,15 @@ class CountingBloom:
             return
         self._apply(self._indexes_hashed(h1, h2), 1, len(h1))
 
+    def add_buffer(self, buf, offsets, lengths) -> None:
+        """Zero-copy Arrow buffer path (same surface as the other
+        sketches, so the generic sketch_agg operators can build
+        per-group membership filters)."""
+        from dablooms_spark.functions.murmur import dablooms_hash_words_buffer
+
+        h1, h2 = dablooms_hash_words_buffer(buf, offsets, lengths, self.seed)
+        self.add_hashed(h1, h2)
+
     def remove(self, keys) -> None:
         """Batch remove: scatter −1, clamped at 0
         (counting_bloom_remove ≈L220 → bitmap_decrement ≈L122)."""

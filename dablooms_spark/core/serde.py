@@ -21,6 +21,8 @@ _BY_MAGIC = {
 
 
 def loads(blob: bytes, seed: int = DABLOOMS_SEED):
+    if blob is None or len(blob) < 8:
+        raise ValueError(f"not a sketch blob: {len(blob or b'')} bytes")
     magic = bytes(blob[:4])
     kind = _BY_MAGIC.get(magic)
     if kind == "counting_bloom":

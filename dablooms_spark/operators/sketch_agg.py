@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dablooms_spark.core.cms import CountMinSketch
+from dablooms_spark.core.counting_bloom import CountingBloom
 from dablooms_spark.core.hll import HyperLogLog
 from dablooms_spark.core.kll import KLLSketch
 from dablooms_spark.core.tdigest import TDigest
@@ -37,6 +38,9 @@ _KINDS = {
     "cms": (CountMinSketch, "string"),
     "tdigest": (TDigest, "numeric"),
     "kll": (KLLSketch, "numeric"),
+    # per-group membership filters (e.g. one seen-URL filter per host);
+    # factory kwargs: capacity, error_rate
+    "counting_bloom": (CountingBloom, "string"),
 }
 
 

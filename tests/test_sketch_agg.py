@@ -115,3 +115,29 @@ def test_sketch_rollup_hierarchy(spark, events):
     assert set(rows) == set(exact)
     for key, v in exact.items():
         assert abs(rows[key] - v) / max(v, 1) < 0.05, key
+
+
+def test_grouped_bloom_filters_per_type(spark, events):
+    """Per-group membership filters via the generic sketch agg: one
+    counting bloom per event_type over user keys — no FN within the
+    group, bounded FP for other groups' keys."""
+    from dablooms_spark.core.serde import loads
+
+    blobs = grouped_sketch_agg(
+        events.withColumn("key", F.concat_ws(":", "user_id", "event_type")),
+        "event_type",
+        "key",
+        "counting_bloom",
+        capacity=1000,
+        error_rate=0.01,
+    )
+    filters = {r.event_type: loads(bytes(r.blob)) for r in blobs.collect()}
+    assert set(filters) == {"click", "view", "purchase", "signup", "error"}
+    rows = events.select("user_id", "event_type").collect()
+    import numpy as np
+
+    for et, filt in filters.items():
+        members = [f"{r.user_id}:{r.event_type}".encode() for r in rows if r.event_type == et]
+        others = [f"{r.user_id}:zzz-{et}".encode() for r in rows][:2000]
+        assert filt.check(members).all(), f"FN in group {et}"
+        assert filt.check(others).mean() <= 0.05

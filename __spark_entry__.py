@@ -330,6 +330,17 @@ def _q_rollup_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_salted_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-level aggregation (operators.skew) — result is
+    exactly GROUP BY count, with the hot key spread across tasks."""
+    from dablooms_spark.operators.skew import salted_group_counts
+
+    events = load_table(spark, sf_dir, "events")
+    return salted_group_counts(
+        events.withColumn("user_id", F.col("user_id").cast("string")), "user_id"
+    )
+
+
 def _q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dablooms_spark.operators.similarity import ivf_topk
 
@@ -366,6 +377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_rollup_distinct": _q_hll_rollup,
         "rollup_distinct_exact": _q_rollup_distinct_exact,
         "ivf_ann_topk": _q_ivf_ann_topk,
+        "salted_user_counts": _q_salted_user_counts,
     }
 
 
@@ -518,6 +530,10 @@ def oracle_sql() -> dict[str, str]:
                    min(event_id) AS first_event
             FROM events
             GROUP BY 1
+        """,
+        "salted_user_counts": """
+            SELECT CAST(user_id AS VARCHAR) AS user_id, count(*) AS cnt
+            FROM events GROUP BY user_id
         """,
         "rollup_distinct_exact": """
             SELECT lang, source, count(DISTINCT text) AS distinct_texts

@@ -40,6 +40,9 @@ def make_spark(cpus: int) -> SparkSession:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        # small files at bench SF: split scans finer so every core gets
+        # stage-1 work (sf0.1 lineitem is 3 parquet blocks by default)
+        .config("spark.sql.files.maxPartitionBytes", "8m")
         .config("spark.driver.memory", "8g")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
@@ -135,7 +138,13 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> dict:
         "ann_topk_embeddings": q_ann_topk_embeddings,
     }
 
-    # warm the session (JVM + Python worker pool) outside the timings
+    # warm the session (JVM + Python worker pool) outside the timings —
+    # the warm job must cross the Arrow/Python boundary on every core,
+    # or the first timed query absorbs the pool's import cost
+    warm = spark.range(0, cpus * 200, 1, cpus * 2).select(
+        F.col("id").cast("string").alias("k")
+    )
+    build_counting_bloom(warm, "k", capacity=100, error_rate=0.05)
     lineitem.limit(10_000).count()
 
     times = {}

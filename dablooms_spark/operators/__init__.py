@@ -1,17 +1,93 @@
 from dablooms_spark.operators.bloom_build import (
     build_counting_bloom,
     build_scaling_bloom,
+    counting_bloom_partials,
+    scaling_bloom_partials,
+    merge_blobs_df,
 )
 from dablooms_spark.operators.bloom_probe import (
     bloom_probe_column,
     bloom_semi_join,
     bloom_anti_join,
 )
+from dablooms_spark.operators.bloom_remove import bloom_remove
+from dablooms_spark.operators.sketch_agg import (
+    sketch_agg,
+    grouped_sketch_agg,
+    sketch_rollup,
+    rollup_distinct,
+    approx_distinct_by,
+    quantiles_by,
+    frequent_keys,
+)
+from dablooms_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_dedup,
+    minhash_signatures,
+    simhash_dedup,
+    simhash_fingerprints,
+    ngram_jaccard_pairs,
+)
+from dablooms_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+    ivf_topk,
+    embedding_neardup_pairs,
+)
+from dablooms_spark.operators.textops import (
+    with_token_count,
+    with_quality_score,
+    with_lang_id,
+    with_fingerprint,
+    shingle_hashes,
+)
+from dablooms_spark.operators.multimodal import (
+    with_media_meta,
+    decode_media,
+    sample_frames,
+)
+from dablooms_spark.operators.skew import (
+    salted_repartition,
+    salted_group_counts,
+    with_salt,
+)
 
 __all__ = [
     "build_counting_bloom",
     "build_scaling_bloom",
+    "counting_bloom_partials",
+    "scaling_bloom_partials",
+    "merge_blobs_df",
     "bloom_probe_column",
     "bloom_semi_join",
     "bloom_anti_join",
+    "bloom_remove",
+    "sketch_agg",
+    "grouped_sketch_agg",
+    "sketch_rollup",
+    "rollup_distinct",
+    "approx_distinct_by",
+    "quantiles_by",
+    "frequent_keys",
+    "exact_dedup",
+    "minhash_lsh_dedup",
+    "minhash_signatures",
+    "simhash_dedup",
+    "simhash_fingerprints",
+    "ngram_jaccard_pairs",
+    "brute_force_topk",
+    "lsh_topk",
+    "ivf_topk",
+    "embedding_neardup_pairs",
+    "with_token_count",
+    "with_quality_score",
+    "with_lang_id",
+    "with_fingerprint",
+    "shingle_hashes",
+    "with_media_meta",
+    "decode_media",
+    "sample_frames",
+    "salted_repartition",
+    "salted_group_counts",
+    "with_salt",
 ]

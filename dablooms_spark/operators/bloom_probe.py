@@ -30,19 +30,24 @@ from dablooms_spark.functions.murmur import DABLOOMS_SEED, dablooms_hash_words_b
 
 # Per-executor deserialized-filter cache: the broadcast ships bytes;
 # each Python worker deserializes once per filter, not once per batch.
-_FILTER_CACHE: dict[int, object] = {}
+# Keyed by the blob OBJECT's identity (the broadcast value is one
+# long-lived object per worker); the entry holds the blob so the id
+# stays valid. Content hashing would risk collisions between filters
+# sharing a prefix/suffix.
+_FILTER_CACHE: dict[int, tuple[object, object]] = {}
 
 
 def _get_filter(blob: bytes, seed: int):
-    key = hash(blob[:64] + blob[-64:] + len(blob).to_bytes(8, "little"))
-    filt = _FILTER_CACHE.get(key)
-    if filt is None:
-        from dablooms_spark.operators.bloom_build import _loads
+    key = id(blob)
+    hit = _FILTER_CACHE.get(key)
+    if hit is not None:
+        return hit[1]
+    from dablooms_spark.operators.bloom_build import _loads
 
-        filt = _loads(blob, seed)
-        if len(_FILTER_CACHE) > 8:
-            _FILTER_CACHE.clear()
-        _FILTER_CACHE[key] = filt
+    filt = _loads(blob, seed)
+    if len(_FILTER_CACHE) > 8:
+        _FILTER_CACHE.clear()
+    _FILTER_CACHE[key] = (blob, filt)
     return filt
 
 

@@ -51,22 +51,50 @@ def _get_filter(blob: bytes, seed: int):
     return filt
 
 
-def _check_series(series: pd.Series, blob: bytes, seed: int) -> pd.Series:
+def _check_arrow(arr: pa.Array, blob: bytes, seed: int) -> "np.ndarray":
+    import numpy as np
+
     filt = _get_filter(blob, seed)
-    arr = pa.array(series, type=pa.large_string())
     buf, offs, lens = arrow_byte_view(arr)
     h1, h2 = dablooms_hash_words_buffer(buf, offs, lens, seed)
     verdict = filt.check_hashed(h1, h2)
     if arr.null_count:
         # a NULL key is definitively not a member (it would otherwise
         # alias the empty string and could false-positive)
-        verdict &= ~pa.compute.is_null(arr).to_numpy(zero_copy_only=False)
-    return pd.Series(verdict)
+        verdict &= ~np.asarray(pa.compute.is_null(arr))
+    return verdict
+
+
+def _check_series(series: pd.Series, blob: bytes, seed: int) -> pd.Series:
+    arr = pa.array(series, type=pa.large_string())
+    return pd.Series(_check_arrow(arr, blob, seed))
+
+
+try:  # Spark 4.1+: true Arrow UDFs — the probe never touches pandas
+    from pyspark.sql.functions import arrow_udf as _arrow_udf
+except ImportError:  # pragma: no cover - older Spark fallback
+    _arrow_udf = None
 
 
 def bloom_probe_udf(spark, bloom, seed: int = DABLOOMS_SEED):
-    """A reusable pandas UDF closing over the broadcast filter."""
+    """A reusable vectorized UDF closing over the broadcast filter.
+
+    With Spark 4.1+'s arrow_udf the probe is end-to-end zero-copy:
+    Arrow string buffers in, hash kernel, boolean buffer out — no
+    per-row Python string objects are ever materialized (the pandas
+    round trip creates one str per key). Falls back to a pandas UDF
+    on older runtimes."""
     bc = spark.sparkContext.broadcast(bloom.to_bytes())
+
+    if _arrow_udf is not None:
+
+        @_arrow_udf("boolean")
+        def probe(it: Iterator[pa.Array]) -> Iterator[pa.Array]:
+            blob = bc.value
+            for arr in it:
+                yield pa.array(_check_arrow(arr, blob, seed))
+
+        return probe
 
     @pandas_udf("boolean")
     def probe(it: Iterator[pd.Series]) -> Iterator[pd.Series]:

@@ -29,6 +29,13 @@ from pyspark.sql.functions import pandas_udf
 
 from dablooms_spark.operators.textops import shingle_hashes
 
+try:  # Spark 4.1+: zero-copy Arrow UDFs (ListArray values/offsets direct)
+    from pyspark.sql.functions import arrow_udf as _arrow_udf
+except ImportError:  # pragma: no cover
+    _arrow_udf = None
+
+import pyarrow as pa
+
 _MERSENNE = (1 << 61) - 1
 
 
@@ -43,16 +50,25 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def _list_offsets(series: pd.Series) -> tuple[np.ndarray, np.ndarray]:
-    """(flat int64 values, int64 offsets) from a pandas Series of
-    lists, via one Arrow conversion — no per-row Python."""
+def _list_offsets(arr) -> tuple[np.ndarray, np.ndarray]:
+    """(flat int64 values, int64 offsets) from an Arrow list array —
+    zero-copy; also accepts a pandas Series of lists (converted once)."""
     import pyarrow as pa
 
-    arr = pa.array(series, type=pa.list_(pa.int64()))
+    if isinstance(arr, pd.Series):
+        arr = pa.array(arr, type=pa.list_(pa.int64()))
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     flat = arr.values.to_numpy(zero_copy_only=False).astype(np.uint64)
     offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    # a sliced ListArray's offsets are absolute into the parent values
+    # buffer — normalize so offsets[0] == 0 and flat covers exactly
+    # this batch's rows
+    if len(offsets) and offsets[0] != 0:
+        flat = flat[offsets[0] : offsets[-1]]
+        offsets = offsets - offsets[0]
+    elif len(offsets) and offsets[-1] != len(flat):
+        flat = flat[: offsets[-1]]
     return flat, offsets
 
 
@@ -107,57 +123,99 @@ def _sig_udf(k: int, num_perms: int, seed: int):
     a = rng.randint(1, _MERSENNE, size=num_perms, dtype=np.int64).astype(np.uint64)
     b = rng.randint(0, _MERSENNE, size=num_perms, dtype=np.int64).astype(np.uint64)
 
+    def kernel(flat: np.ndarray, offsets: np.ndarray):
+        """(shingle_values, shingle_offsets, sig_matrix) for one batch
+        of token-hash lists — fully vectorized, no per-document loop."""
+        n = len(offsets) - 1
+        starts, ends = offsets[:-1], offsets[1:]
+        lens = ends - starts
+        m = len(flat)
+        with np.errstate(over="ignore"):
+            rolled = np.zeros(m, dtype=np.uint64)
+            cj = np.uint64(1)
+            for j in range(k):
+                if j < m:
+                    rolled[: m - j] += flat[j:] * cj
+                cj *= _ROLL_C
+            # valid gram start positions: i such that i+k <= doc end
+            doc_of = np.repeat(np.arange(n), lens)
+            pos_in_doc = np.arange(m) - np.repeat(starts, lens)
+            valid = pos_in_doc <= (np.repeat(lens, lens) - k)
+            # short docs (< k tokens): one truncated gram at start
+            short = lens[doc_of] < k
+            valid |= short & (pos_in_doc == 0)
+
+        vflat = rolled[valid]
+        vdoc = doc_of[valid]
+        gram_counts = np.bincount(vdoc, minlength=n)
+        gstarts = np.zeros(n, dtype=np.int64)
+        np.cumsum(gram_counts[:-1], out=gstarts[1:])
+        safe_g = np.minimum(gstarts, max(len(vflat) - 1, 0))
+        empty = gram_counts == 0
+        sigm = np.zeros((n, num_perms), dtype=np.int64)
+        with np.errstate(over="ignore"):
+            for j in range(num_perms):
+                vals = (a[j] * vflat + b[j]) % np.uint64(_MERSENNE)
+                if len(vflat):
+                    sigm[:, j] = np.minimum.reduceat(vals, safe_g).astype(np.int64)
+        sigm[empty] = 0
+
+        # distinct shingles per doc, vectorized: sort by (doc, value),
+        # keep firsts where either changes
+        signed = vflat.view(np.int64)
+        order = np.lexsort((signed, vdoc))
+        sd, sv = vdoc[order], signed[order]
+        keep = np.ones(len(sv), dtype=bool)
+        if len(sv) > 1:
+            keep[1:] = (sd[1:] != sd[:-1]) | (sv[1:] != sv[:-1])
+        sh_values = sv[keep]
+        per_doc = np.bincount(sd[keep], minlength=n)
+        sh_offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(per_doc, out=sh_offsets[1:])
+        return sh_values, sh_offsets, sigm
+
+    def to_struct(sh_values, sh_offsets, sigm) -> pa.StructArray:
+        n = sigm.shape[0]
+        shingles = pa.ListArray.from_arrays(
+            pa.array(sh_offsets, type=pa.int32()), pa.array(sh_values, type=pa.int64())
+        )
+        sig_off = (np.arange(n + 1, dtype=np.int64) * num_perms).astype(np.int32)
+        sig_arr = pa.ListArray.from_arrays(
+            pa.array(sig_off, type=pa.int32()),
+            pa.array(sigm.ravel(), type=pa.int64()),
+        )
+        return pa.StructArray.from_arrays([shingles, sig_arr], ["shingles", "sig"])
+
+    if _arrow_udf is not None:
+
+        @_arrow_udf("struct<shingles: array<long>, sig: array<long>>")
+        def sig(it: Iterator[pa.Array]) -> Iterator[pa.Array]:
+            for arr in it:
+                flat, offsets = _list_offsets(arr)
+                if len(offsets) <= 1:
+                    yield to_struct(
+                        np.empty(0, np.int64),
+                        np.zeros(max(len(offsets), 1), np.int64),
+                        np.zeros((max(len(offsets) - 1, 0), num_perms), np.int64),
+                    )
+                    continue
+                yield to_struct(*kernel(flat, offsets))
+
+        return sig
+
     @pandas_udf("struct<shingles: array<long>, sig: array<long>>")
     def sig(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for series in it:
-            n = len(series)
-            if n == 0:
+            if len(series) == 0:
                 yield pd.DataFrame({"shingles": [], "sig": []})
                 continue
             flat, offsets = _list_offsets(series)
-            starts, ends = offsets[:-1], offsets[1:]
-            lens = ends - starts
-            m = len(flat)
-            with np.errstate(over="ignore"):
-                rolled = np.zeros(m, dtype=np.uint64)
-                cj = np.uint64(1)
-                for j in range(k):
-                    if j < m:
-                        rolled[: m - j] += flat[j:] * cj
-                    cj *= _ROLL_C
-                # valid gram start positions: i such that i+k <= doc end
-                doc_of = np.repeat(np.arange(n), lens)
-                pos_in_doc = np.arange(m) - np.repeat(starts, lens)
-                valid = pos_in_doc <= (np.repeat(lens, lens) - k)
-                # short docs (< k tokens): one truncated gram at start
-                short = lens[doc_of] < k
-                valid |= short & (pos_in_doc == 0)
-
-            shingles_out, sig_out = [], []
-            vflat = rolled[valid]
-            vdoc = doc_of[valid]
-            # segment boundaries of valid grams per doc
-            gram_counts = np.bincount(vdoc, minlength=n)
-            gstarts = np.zeros(n, dtype=np.int64)
-            np.cumsum(gram_counts[:-1], out=gstarts[1:])
-            safe_g = np.minimum(gstarts, max(len(vflat) - 1, 0))
-            empty = gram_counts == 0
-            sigm = np.zeros((n, num_perms), dtype=np.int64)
-            with np.errstate(over="ignore"):
-                for j in range(num_perms):
-                    vals = (a[j] * vflat + b[j]) % np.uint64(_MERSENNE)
-                    if len(vflat):
-                        sigm[:, j] = np.minimum.reduceat(vals, safe_g).astype(
-                            np.int64
-                        )
-            sigm[empty] = 0
-            bounds = np.concatenate([gstarts, [len(vflat)]])
-            signed = vflat.view(np.int64)
-            for i in range(n):
-                lo, hi = bounds[i], bounds[i + 1]
-                shingles_out.append(np.unique(signed[lo:hi]))
-                sig_out.append(sigm[i])
-            yield pd.DataFrame({"shingles": shingles_out, "sig": sig_out})
+            sh_values, sh_offsets, sigm = kernel(flat, offsets)
+            shingles_out = [
+                sh_values[sh_offsets[i] : sh_offsets[i + 1]]
+                for i in range(len(sh_offsets) - 1)
+            ]
+            yield pd.DataFrame({"shingles": shingles_out, "sig": list(sigm)})
 
     return sig
 
@@ -259,30 +317,46 @@ def simhash_fingerprints(
         F.split(F.col(text_col), " "), lambda t: F.xxhash64(t)
     )
 
+    def fold_kernel(flat: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+        n = len(offsets) - 1
+        starts = offsets[:-1]
+        lens = offsets[1:] - starts
+        safe_starts = np.minimum(starts, max(len(flat) - 1, 0))
+        fp = np.zeros(n, dtype=np.uint64)
+        # one segmented popcount-sum per bit position (64 passes),
+        # no per-document Python
+        for j in range(64):
+            bitvals = ((flat >> np.uint64(j)) & np.uint64(1)).astype(np.int64)
+            ones = (
+                np.add.reduceat(bitvals, safe_starts)
+                if len(flat)
+                else np.zeros(n, dtype=np.int64)
+            )
+            maj = (ones * 2 > lens) & (lens > 0)
+            fp |= np.where(maj, np.uint64(1) << np.uint64(j), np.uint64(0))
+        return fp.view(np.int64)
+
+    if _arrow_udf is not None:
+
+        @_arrow_udf("long")
+        def fold(it: Iterator[pa.Array]) -> Iterator[pa.Array]:
+            for arr in it:
+                if len(arr) == 0:
+                    yield pa.array([], type=pa.int64())
+                    continue
+                flat, offsets = _list_offsets(arr)
+                yield pa.array(fold_kernel(flat, offsets))
+
+        return df.select(F.col(id_col), fold(tok_hashes).alias("simhash"))
+
     @pandas_udf("long")
     def fold(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for series in it:
-            n = len(series)
-            if n == 0:
+            if len(series) == 0:
                 yield pd.Series([], dtype="int64")
                 continue
             flat, offsets = _list_offsets(series)
-            starts = offsets[:-1]
-            lens = offsets[1:] - starts
-            safe_starts = np.minimum(starts, max(len(flat) - 1, 0))
-            fp = np.zeros(n, dtype=np.uint64)
-            # one segmented popcount-sum per bit position (64 passes),
-            # no per-document Python
-            for j in range(64):
-                bitvals = ((flat >> np.uint64(j)) & np.uint64(1)).astype(np.int64)
-                ones = (
-                    np.add.reduceat(bitvals, safe_starts)
-                    if len(flat)
-                    else np.zeros(n, dtype=np.int64)
-                )
-                maj = (ones * 2 > lens) & (lens > 0)
-                fp |= np.where(maj, np.uint64(1) << np.uint64(j), np.uint64(0))
-            yield pd.Series(fp.view(np.int64))
+            yield pd.Series(fold_kernel(flat, offsets))
 
     return df.select(F.col(id_col), fold(tok_hashes).alias("simhash"))
 

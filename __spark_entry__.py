@@ -161,6 +161,15 @@ def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dablooms_spark.operators.textops import with_bpe_token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return with_bpe_token_count(docs).select(
+        "doc_id", F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens")
+    )
+
+
 def _q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dablooms_spark.operators.textops import with_quality_score
 
@@ -360,6 +369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_quantiles_tdigest": _q_value_quantiles_tdigest,
         "value_quantiles_kll": _q_value_quantiles_kll,
         "token_count_docs": _q_token_count,
+        "bpe_token_count_docs": _q_bpe_token_count,
         "quality_scores_docs": _q_quality_scores,
         "lang_id_docs": _q_lang_id,
         "doc_fingerprints": _q_doc_fingerprints,
@@ -422,6 +432,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_count_docs": """
             SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+        """,
+        "bpe_token_count_docs": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens
             FROM documents
         """,
         "quality_scores_docs": """

@@ -34,6 +34,22 @@ def with_token_count(df: DataFrame, text_col: str = "text", out: str = "n_tokens
     return df.withColumn(out, F.size(tokens(text_col)))
 
 
+# BPE-ish pre-tokenizer: word pieces, numbers, or single non-space
+# symbols — the shape GPT-style byte-pair pre-tokenizers split on.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def with_bpe_token_count(
+    df: DataFrame, text_col: str = "text", out: str = "n_bpe_tokens"
+) -> DataFrame:
+    """Token count under a BPE-style pre-tokenization regex (letters
+    runs / digit runs / single symbols) — pure Catalyst regexp_count,
+    the cheap proxy for LLM-token budgeting over a corpus."""
+    return df.withColumn(
+        out, F.regexp_count(F.col(text_col), F.lit(BPE_ISH_PATTERN))
+    )
+
+
 def _count_in(toks: Column, words: tuple[str, ...]) -> Column:
     lit_arr = F.array(*[F.lit(w) for w in words])
     return F.size(F.filter(toks, lambda t: F.array_contains(lit_arr, t)))

@@ -269,3 +269,14 @@ def test_ivf_topk_recall(spark, emb):
     # self-hit: each query's own vector shares its cell → sim 1.0 found
     self_hits = {r.query_id for r in approx.collect() if r.neighbor_id == r.query_id}
     assert len(self_hits) == 20
+
+
+def test_bpe_token_count_splits_punct(spark):
+    from dablooms_spark.operators.textops import with_bpe_token_count
+
+    df = spark.createDataFrame(
+        [(1, "hello, world! it's 42.5 degrees")], ["doc_id", "text"]
+    )
+    r = with_bpe_token_count(df).first()
+    # hello , world ! it ' s 42 . 5 degrees  -> 11 pieces
+    assert r.n_bpe_tokens == 11

@@ -339,6 +339,22 @@ def _q_rollup_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_theta_set_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-level set algebra (theta intersection/difference) —
+    exact while distinct counts sit under the sketch retention, which
+    holds for this table; grounded by the same values computed with
+    real INTERSECT/EXCEPT in the oracle."""
+    from dablooms_spark.operators.builtin_sketches import theta_set_counts
+
+    events = load_table(spark, sf_dir, "events")
+    return theta_set_counts(
+        events,
+        "user_id",
+        F.col("event_type") == "click",
+        F.col("event_type") == "purchase",
+    )
+
+
 def _q_salted_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe two-level aggregation (operators.skew) — result is
     exactly GROUP BY count, with the hot key spread across tasks."""
@@ -388,6 +404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_distinct_exact": _q_rollup_distinct_exact,
         "ivf_ann_topk": _q_ivf_ann_topk,
         "salted_user_counts": _q_salted_user_counts,
+        "theta_set_counts": _q_theta_set_counts,
     }
 
 
@@ -549,6 +566,14 @@ def oracle_sql() -> dict[str, str]:
         "salted_user_counts": """
             SELECT CAST(user_id AS VARCHAR) AS user_id, count(*) AS cnt
             FROM events GROUP BY user_id
+        """,
+        "theta_set_counts": """
+            WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+                 b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+            SELECT (SELECT count(*) FROM a) AS in_a,
+                   (SELECT count(*) FROM b) AS in_b,
+                   (SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b)) AS in_both,
+                   (SELECT count(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b)) AS a_only
         """,
         "rollup_distinct_exact": """
             SELECT lang, source, count(DISTINCT text) AS distinct_texts

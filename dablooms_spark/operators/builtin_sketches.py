@@ -96,6 +96,34 @@ def cms_sketch(df: DataFrame, key_col: str, eps: float = 1e-4,
     return bytes(row.cms)
 
 
+def theta_set_counts(
+    df: DataFrame,
+    key_col: str,
+    cond_a,
+    cond_b,
+) -> DataFrame:
+    """Set algebra at the sketch level: distinct keys satisfying A, B,
+    A∩B and A\\B, computed from two theta sketches without a join —
+    the sketch-native answer to INTERSECT/EXCEPT on distinct sets.
+    Estimates are exact while distinct counts stay under the sketch's
+    retention (~4k at default lgK), and within ~2% beyond it."""
+    k = F.col(key_col).cast("string")
+    sk = df.agg(
+        F.theta_sketch_agg(F.when(cond_a, k)).alias("sa"),
+        F.theta_sketch_agg(F.when(cond_b, k)).alias("sb"),
+    )
+    return sk.select(
+        F.theta_sketch_estimate(F.col("sa")).cast("long").alias("in_a"),
+        F.theta_sketch_estimate(F.col("sb")).cast("long").alias("in_b"),
+        F.theta_sketch_estimate(
+            F.theta_intersection(F.col("sa"), F.col("sb"))
+        ).cast("long").alias("in_both"),
+        F.theta_sketch_estimate(
+            F.theta_difference(F.col("sa"), F.col("sb"))
+        ).cast("long").alias("a_only"),
+    )
+
+
 def theta_distinct(df: DataFrame, key_col: str) -> int:
     """Theta-sketch distinct estimate (supports set operations at the
     sketch level — the builtin complement to our HLL)."""

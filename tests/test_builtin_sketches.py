@@ -73,3 +73,19 @@ def test_builtin_cms_and_theta(spark, events):
     d = theta_distinct(events, "user_id")
     exact = events.select(F.countDistinct("user_id")).first()[0]
     assert abs(d - exact) / exact < 0.05
+
+
+def test_theta_set_counts_exact_at_small_cardinality(spark, events):
+    from dablooms_spark.operators.builtin_sketches import theta_set_counts
+
+    got = theta_set_counts(
+        events, "user_id",
+        F.col("event_type") == "click",
+        F.col("event_type") == "purchase",
+    ).first()
+    clicks = events.filter("event_type = 'click'").select("user_id").distinct()
+    buys = events.filter("event_type = 'purchase'").select("user_id").distinct()
+    assert got.in_a == clicks.count()
+    assert got.in_b == buys.count()
+    assert got.in_both == clicks.intersect(buys).count()
+    assert got.a_only == clicks.subtract(buys).count()

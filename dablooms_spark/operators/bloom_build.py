@@ -121,6 +121,38 @@ def _tree_merge(blob_df: DataFrame, seed: int, fanin: int = 8, collect_threshold
     return filt, total
 
 
+def _delta_encode(local_idx: np.ndarray) -> tuple[bytes, bytes]:
+    """Sorted indices → (u8 gap stream, exception pairs).
+
+    Average gap between nonzero counters is size/nnz (≈ ln2·k/α per
+    key at load factor α), typically well under 256, so u8 gaps plus
+    a rare (position u32, true-gap u32) exception list cut the merge
+    shuffle from 4 B to ~1 B per counter index. Both encode and decode
+    are pure vectorized numpy."""
+    if len(local_idx) == 0:
+        return b"", b""
+    gaps = np.diff(local_idx, prepend=np.int64(0))
+    gaps[0] = local_idx[0]
+    big = gaps >= 255
+    out = np.where(big, 255, gaps).astype(np.uint8)
+    if big.any():
+        pos = np.flatnonzero(big).astype(np.uint32)
+        true = gaps[big].astype(np.uint32)
+        exc = np.empty(2 * len(pos), dtype=np.uint32)
+        exc[0::2] = pos
+        exc[1::2] = true
+        return out.tobytes(), exc.tobytes()
+    return out.tobytes(), b""
+
+
+def _delta_decode(gap_bytes: bytes, exc_bytes: bytes) -> np.ndarray:
+    gaps = np.frombuffer(gap_bytes, dtype=np.uint8).astype(np.int64)
+    if len(exc_bytes):
+        exc = np.frombuffer(exc_bytes, dtype=np.uint32)
+        gaps[exc[0::2].astype(np.int64)] = exc[1::2]
+    return np.cumsum(gaps)
+
+
 def _chunk_pieces_build(
     sdf: DataFrame,
     capacity: int,
@@ -131,7 +163,8 @@ def _chunk_pieces_build(
     """Stage 1 for the chunked merge: each task builds its partial
     filter, then splits the (sorted) nonzero counters into
     `num_chunks` counter-range chunks and emits one sparse piece per
-    non-empty chunk: (chunk, idx binary, vals binary, n)."""
+    non-empty chunk: (chunk, idx binary delta-u8, exc binary, vals
+    binary, n)."""
     g = BloomGeometry(capacity, error_rate)
     size = g.size
     bounds = np.linspace(0, size, num_chunks + 1).astype(np.int64)
@@ -158,24 +191,27 @@ def _chunk_pieces_build(
         nz, cnts = np.unique(all_idx, return_counts=True)
         vals = np.minimum(cnts, 15).astype(np.uint8)  # saturating 4-bit
         cuts = np.searchsorted(nz, bounds)
-        chunks, idx_b, val_b, ns = [], [], [], []
+        chunks, idx_b, exc_b, val_b, ns = [], [], [], [], []
         first = True
         for c in range(num_chunks):
             lo, hi = int(cuts[c]), int(cuts[c + 1])
             if lo == hi and not first:
                 continue
-            local = (nz[lo:hi] - bounds[c]).astype(np.uint32)
+            local = nz[lo:hi] - bounds[c]
+            gaps, exc = _delta_encode(local)
             chunks.append(c)
-            idx_b.append(local.tobytes())
+            idx_b.append(gaps)
+            exc_b.append(exc)
             val_b.append(vals[lo:hi].tobytes())
             ns.append(count if first else 0)  # count rides on one piece
             first = False
         yield pa.RecordBatch.from_pydict(
-            {"chunk": chunks, "idx": idx_b, "vals": val_b, "n": ns},
+            {"chunk": chunks, "idx": idx_b, "exc": exc_b, "vals": val_b, "n": ns},
             schema=pa.schema(
                 [
                     ("chunk", pa.int64()),
                     ("idx", pa.large_binary()),
+                    ("exc", pa.large_binary()),
                     ("vals", pa.large_binary()),
                     ("n", pa.int64()),
                 ]
@@ -183,7 +219,8 @@ def _chunk_pieces_build(
         )
 
     return sdf.mapInArrow(
-        build_partition, schema="chunk long, idx binary, vals binary, n long"
+        build_partition,
+        schema="chunk long, idx binary, exc binary, vals binary, n long",
     )
 
 
@@ -205,10 +242,10 @@ def _chunked_counting_merge(
         c = int(pdf.chunk.iloc[0])
         width = int(bounds[c + 1] - bounds[c])
         acc = np.zeros(width, dtype=np.int32)
-        for idx_bytes, val_bytes in zip(pdf.idx, pdf.vals):
-            idx = np.frombuffer(idx_bytes, dtype=np.uint32)
+        for gap_bytes, exc_bytes, val_bytes in zip(pdf.idx, pdf.exc, pdf.vals):
+            idx = _delta_decode(gap_bytes, exc_bytes)
             vals = np.frombuffer(val_bytes, dtype=np.uint8)
-            np.add.at(acc, idx.astype(np.int64), vals.astype(np.int32))
+            np.add.at(acc, idx, vals.astype(np.int32))
         np.clip(acc, 0, 15, out=acc)
         return pd.DataFrame(
             {

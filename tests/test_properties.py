@@ -111,3 +111,20 @@ def test_hll_merge_commutes(keys, split):
     for h in reversed(hs[:-1]):
         rev = rev.merge(h)
     assert fwd.to_bytes() == rev.to_bytes()
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    idx=st.lists(
+        st.integers(min_value=0, max_value=10_000_000), min_size=0, max_size=500, unique=True
+    )
+)
+def test_delta_codec_roundtrip(idx):
+    import numpy as np
+
+    from dablooms_spark.operators.bloom_build import _delta_decode, _delta_encode
+
+    arr = np.sort(np.array(idx, dtype=np.int64))
+    gaps, exc = _delta_encode(arr)
+    out = _delta_decode(gaps, exc)
+    assert np.array_equal(out, arr)

@@ -91,8 +91,8 @@ cluster available — see BASELINE.md).
 
 | level | counting build (s) | counting docs/s | scaling build (s) | scaling docs/s | hash kernel (s) | hash docs/s |
 |---|---|---|---|---|---|---|
-| local[{n}] | {results[n]['counting_build_sec']} | {results[n]['counting_docs_per_sec']:,} | {results[n]['scaling_build_sec']} | {results[n]['scaling_docs_per_sec']:,} | {results[n].get('hash_kernel_sec', '—')} | {results[n].get('hash_kernel_docs_per_sec', 0):,} |
-| local[{m}] | {results[m]['counting_build_sec']} | {results[m]['counting_docs_per_sec']:,} | {results[m]['scaling_build_sec']} | {results[m]['scaling_docs_per_sec']:,} | {results[m].get('hash_kernel_sec', '—')} | {results[m].get('hash_kernel_docs_per_sec', 0):,} |
+| local[{n}] | {results[n].get('counting_build_sec', '—')} | {results[n].get('counting_docs_per_sec', 0):,} | {results[n].get('scaling_build_sec', '—')} | {results[n].get('scaling_docs_per_sec', 0):,} | {results[n].get('hash_kernel_sec', '—')} | {results[n].get('hash_kernel_docs_per_sec', 0):,} |
+| local[{m}] | {results[m].get('counting_build_sec', '—')} | {results[m].get('counting_docs_per_sec', 0):,} | {results[m].get('scaling_build_sec', '—')} | {results[m].get('scaling_docs_per_sec', 0):,} | {results[m].get('hash_kernel_sec', '—')} | {results[m].get('hash_kernel_docs_per_sec', 0):,} |
 
 **Scaling efficiency** (= (thr@{m} / thr@{n}) / {m // n}, target >= 0.8):
 

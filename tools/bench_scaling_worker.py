@@ -69,6 +69,7 @@ def main():
     # + Python-pool ramp that a long-running production job amortizes;
     # report the best of N trials (all trials recorded).
     trials = int(os.environ.get("SCALING_TRIALS", "3"))
+    jobs = set(os.environ.get("SCALING_JOBS", "counting,scaling,hash").split(","))
     t_counting, t_scaling = [], []
     from dablooms_spark.core.serde import loads
     from dablooms_spark.operators.bloom_build import (
@@ -78,10 +79,13 @@ def main():
 
     ckpt_root = tempfile.mkdtemp()
     for trial in range(trials):
-        t0 = time.perf_counter()
-        cb = build_counting_bloom(wp, "text", capacity=n_rows, error_rate=0.01)
-        t_counting.append(time.perf_counter() - t0)
-        assert cb.count == total
+        if "counting" in jobs:
+            t0 = time.perf_counter()
+            cb = build_counting_bloom(wp, "text", capacity=n_rows, error_rate=0.01)
+            t_counting.append(time.perf_counter() - t0)
+            assert cb.count == total
+        if "scaling" not in jobs:
+            continue
 
         # scaling filter: build -> merge -> durable checkpoint, all
         # distributed (the filter is the product; at real scale it is
@@ -98,8 +102,9 @@ def main():
         n_check = spark.read.parquet(out_dir).select("n").first()[0]
         assert n_check == total, (n_check, total)
     # correctness spot-check outside timing: restored filter has no FN
-    sb = loads(bytes(spark.read.parquet(out_dir).first().blob))
-    assert sb.count == total
+    if "scaling" in jobs:
+        sb = loads(bytes(spark.read.parquet(out_dir).first().blob))
+        assert sb.count == total
     shutil.rmtree(ckpt_root, ignore_errors=True)
     shutil.rmtree(os.path.dirname(data_dir), ignore_errors=True)
 
@@ -120,7 +125,7 @@ def main():
 
     t_hash = []
     gen = synth_webpages(spark, n_rows=n_rows, partitions=partitions).select("text")
-    for _ in range(trials):
+    for _ in range(trials if "hash" in jobs else 0):
         t0 = time.perf_counter()
         hashed_n = gen.mapInArrow(hash_only, schema="n long").agg(
             F.sum("n")
@@ -128,19 +133,14 @@ def main():
         t_hash.append(time.perf_counter() - t0)
         assert hashed_n == total
 
-    out = {
-        "cores": cores,
-        "rows": total,
-        "hash_kernel_sec": round(min(t_hash), 3),
-        "hash_kernel_docs_per_sec": round(total / min(t_hash), 1),
-        "hash_trials_sec": [round(t, 3) for t in t_hash],
-        "counting_build_sec": round(min(t_counting), 3),
-        "scaling_build_sec": round(min(t_scaling), 3),
-        "counting_docs_per_sec": round(total / min(t_counting), 1),
-        "scaling_docs_per_sec": round(total / min(t_scaling), 1),
-        "counting_trials_sec": [round(t, 3) for t in t_counting],
-        "scaling_trials_sec": [round(t, 3) for t in t_scaling],
-    }
+    out = {"cores": cores, "rows": total}
+    for name, ts in (("hash_kernel", t_hash), ("counting_build", t_counting),
+                     ("scaling_build", t_scaling)):
+        if ts:
+            key = name.replace("_build", "").replace("_kernel", "_kernel")
+            out[f"{name}_sec"] = round(min(ts), 3)
+            out[f"{key if name=='hash_kernel' else name.split('_')[0]}_docs_per_sec"] = round(total / min(ts), 1)
+            out[f"{name.split('_')[0]}_trials_sec"] = [round(t, 3) for t in ts]
     spark.stop()
     print("SCALING_RESULT " + json.dumps(out))
 

@@ -253,14 +253,27 @@ def _q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stubbed decode plumbing with the deterministic fake decoder —
-    rows-only (features are arrays)."""
+    """Stubbed decode plumbing with the deterministic fake decoder.
+    Features (array<float>) are projected to a hashable string
+    signature — floor(x*1e6 + 0.5) per bucket, comma-joined — so the
+    driver canonicalizer can hash the result and DuckDB can reproduce
+    it (the fake feature is a normalized byte histogram)."""
     from dablooms_spark.operators.multimodal import decode_media
 
     docs = load_table(spark, sf_dir, "documents").withColumn(
         "blob", F.encode("text", "utf-8")
     )
-    return decode_media(docs, "blob", "doc_id", fake=True)
+    out = decode_media(docs, "blob", "doc_id", fake=True)
+    sig = F.concat_ws(
+        ",",
+        F.transform(
+            "features",
+            lambda x: F.floor(x.cast("double") * 1e6 + F.lit(0.5))
+            .cast("long")
+            .cast("string"),
+        ),
+    )
+    return out.select("doc_id", "media_bytes", sig.alias("feats_sig"))
 
 
 # ---- relational category coverage (SURVEY.md §2.2: Catalyst built-ins) ----
@@ -527,6 +540,7 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN substr(text,1,4) = 'GIF8' THEN 'image/gif'
                         WHEN substr(text,1,4) = 'RIFF' THEN 'audio/wav'
                         WHEN substr(text,1,4) = '<htm' THEN 'text/html'
+                        WHEN substr(text,5,4) = 'ftyp' THEN 'video/mp4'
                         ELSE 'application/octet-stream' END AS media_mime
             FROM documents
         """,
@@ -580,8 +594,40 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY ROLLUP (lang, source)
         """,
+        # the fake decoder's feature is bincount(byte % 16)/len — the
+        # docs are ASCII so ascii(substr(text,pos,1)) IS the byte value;
+        # floor(x*1e6+0.5) matches the Spark-side signature exactly
+        # (both engines do the same float32 -> double promotion)
+        "media_features_docs": """
+            WITH b AS (
+                SELECT doc_id,
+                       octet_length(CAST(text AS BLOB)) AS media_bytes,
+                       ascii(substr(text, CAST(pos AS INT), 1)) % 16 AS bucket
+                FROM documents,
+                     LATERAL unnest(range(1, octet_length(CAST(text AS BLOB)) + 1)) AS t(pos)
+            ),
+            h AS (
+                SELECT doc_id, media_bytes, bucket, count(*) AS c
+                FROM b GROUP BY 1, 2, 3
+            ),
+            dense AS (
+                SELECT d.doc_id, d.media_bytes, g.bucket,
+                       coalesce(h.c, 0) AS c
+                FROM (SELECT DISTINCT doc_id, media_bytes FROM h) d
+                CROSS JOIN (SELECT unnest(range(0, 16)) AS bucket) g
+                LEFT JOIN h ON h.doc_id = d.doc_id AND h.bucket = g.bucket
+            )
+            SELECT doc_id,
+                   any_value(media_bytes) AS media_bytes,
+                   string_agg(
+                       CAST(CAST(floor(CAST(CAST(CAST(c AS DOUBLE) / media_bytes AS FLOAT) AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS VARCHAR),
+                       ',' ORDER BY bucket
+                   ) AS feats_sig
+            FROM dense
+            GROUP BY doc_id
+        """,
         # hll_distinct_by_type / value_quantiles_* / minhash_dedup_pairs /
-        # simhash_pairs / lsh_ann_topk / ivf_ann_topk / hll_rollup_distinct /
-        # media_features_docs are approximate or not SQL-expressible →
+        # simhash_pairs / lsh_ann_topk / ivf_ann_topk / hll_rollup_distinct
+        # are approximate or not SQL-expressible →
         # rows-only driver checks; pytest asserts accuracy/recall bounds.
     }

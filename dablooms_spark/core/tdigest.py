@@ -45,13 +45,16 @@ class TDigest:
 
     def add(self, values, weights=None) -> None:
         v = np.asarray(values, dtype=np.float64)
-        v = v[~np.isnan(v)]
+        mask = ~np.isnan(v)
+        v = v[mask]
         if len(v) == 0:
             return
+        # apply the same NaN mask to weights — filtering only values
+        # would silently misalign (value, weight) pairs
         w = (
             np.ones(len(v), np.float64)
             if weights is None
-            else np.asarray(weights, dtype=np.float64)
+            else np.asarray(weights, dtype=np.float64)[mask]
         )
         self.vmin = min(self.vmin, float(v.min()))
         self.vmax = max(self.vmax, float(v.max()))

@@ -141,8 +141,21 @@ def _sig_udf(k: int, num_perms: int, seed: int):
             doc_of = np.repeat(np.arange(n), lens)
             pos_in_doc = np.arange(m) - np.repeat(starts, lens)
             valid = pos_in_doc <= (np.repeat(lens, lens) - k)
-            # short docs (< k tokens): one truncated gram at start
+            # short docs (< k tokens): one truncated gram at start.
+            # `rolled` at that position would mix in tokens from the
+            # NEXT document in the flat buffer, so recompute the
+            # truncated gram from only the doc's own tokens.
             short = lens[doc_of] < k
+            if short.any():
+                cpow = np.empty(k, dtype=np.uint64)
+                cpow[0] = np.uint64(1)
+                for j in range(1, k):
+                    cpow[j] = cpow[j - 1] * _ROLL_C
+                contrib = flat[short] * cpow[pos_in_doc[short]]
+                corrected = np.zeros(n, dtype=np.uint64)
+                np.add.at(corrected, doc_of[short], contrib)
+                short_docs = np.nonzero((lens > 0) & (lens < k))[0]
+                rolled[starts[short_docs]] = corrected[short_docs]
             valid |= short & (pos_in_doc == 0)
 
         vflat = rolled[valid]

@@ -20,13 +20,14 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# magic-byte sniffing — pure Catalyst, no Python
+# magic-byte sniffing — pure Catalyst, no Python. MP4 is handled
+# separately: its signature is 'ftyp' at byte offset 4 (the first 4
+# bytes are the box length), not a fixed prefix.
 _MAGICS = [
     ("image/png", b"\x89PNG"),
     ("image/jpeg", b"\xff\xd8\xff"),
     ("image/gif", b"GIF8"),
     ("audio/wav", b"RIFF"),
-    ("video/mp4", b"\x00\x00\x00"),
     ("text/html", b"<htm"),
 ]
 
@@ -34,8 +35,9 @@ _MAGICS = [
 def with_media_meta(df: DataFrame, binary_col: str = "html") -> DataFrame:
     """Typed metadata columns from an opaque binary column:
     byte length and sniffed mime (JVM-side magic-byte CASE chain)."""
-    head = F.substring(F.col(binary_col), 1, 4)
-    mime = F.lit("application/octet-stream")
+    mime = F.when(
+        F.substring(F.col(binary_col), 5, 4) == F.lit(b"ftyp"), F.lit("video/mp4")
+    ).otherwise(F.lit("application/octet-stream"))
     for name, magic in reversed(_MAGICS):
         mime = F.when(
             F.substring(F.col(binary_col), 1, len(magic)) == F.lit(magic), F.lit(name)
@@ -72,21 +74,41 @@ def decode_media(
                     f"no {batch_note} decoder available in this environment; "
                     "pass fake=True for the deterministic stand-in"
                 )
-            blobs = pdf[binary_col]
-            lengths = blobs.map(len).astype("int64")
+            import pyarrow as pa
+
             # deterministic fake features: normalized byte histogram
-            # folded to MEDIA_FEATURE_DIM buckets — stable across runs
-            feats = []
-            for b in blobs:
-                arr = np.frombuffer(b, dtype=np.uint8)
-                hist = np.bincount(arr % MEDIA_FEATURE_DIM, minlength=MEDIA_FEATURE_DIM)
-                total = hist.sum() or 1
-                feats.append((hist / total).astype(np.float32))
+            # folded to MEDIA_FEATURE_DIM buckets — stable across runs.
+            # Vectorized over the whole batch: one flat byte buffer +
+            # offsets (Arrow binary layout), one bincount of
+            # doc_index*DIM + byte%DIM — no per-row Python loop, the
+            # same shape a real vectorized decoder would use.
+            barr = pa.array(pdf[binary_col], type=pa.binary())
+            if isinstance(barr, pa.ChunkedArray):
+                barr = barr.combine_chunks()
+            offsets = np.frombuffer(barr.buffers()[1], dtype=np.int32)[
+                barr.offset : barr.offset + len(barr) + 1
+            ].astype(np.int64)
+            data_buf = barr.buffers()[2]
+            flat = (
+                np.frombuffer(data_buf, dtype=np.uint8)[offsets[0] : offsets[-1]]
+                if data_buf is not None
+                else np.empty(0, np.uint8)
+            )
+            offsets = offsets - offsets[0]
+            n = len(barr)
+            lens = np.diff(offsets)
+            doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+            codes = doc_of * MEDIA_FEATURE_DIM + (flat % MEDIA_FEATURE_DIM)
+            hist = np.bincount(codes, minlength=n * MEDIA_FEATURE_DIM).reshape(
+                n, MEDIA_FEATURE_DIM
+            )
+            totals = np.maximum(lens, 1)
+            feats = (hist / totals[:, None]).astype(np.float32)
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].astype("int64"),
-                    "media_bytes": lengths,
-                    "features": feats,
+                    "media_bytes": lens,
+                    "features": list(feats),
                 }
             )
 

@@ -78,10 +78,16 @@ def brute_force_topk(
                 sims = np.concatenate([best_sim, sims], axis=1)
                 cat_ids = np.concatenate([best_ids, cat_ids], axis=1)
             kk = min(k, sims.shape[1])
-            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            # prune with the SAME ordering the final rank uses —
+            # (round(sim,6) desc, id asc) — so a candidate tied at 6
+            # decimals with a lower id is never dropped locally. Two
+            # stable argsorts == row-wise lexsort by that composite key.
             rows = np.arange(sims.shape[0])[:, None]
-            best_sim = sims[rows, part]
-            best_ids = cat_ids[rows, part]
+            o1 = np.argsort(cat_ids, axis=1, kind="stable")
+            o2 = np.argsort(-np.round(sims[rows, o1], 6), axis=1, kind="stable")
+            sel = o1[rows, o2][:, :kk]
+            best_sim = sims[rows, sel]
+            best_ids = cat_ids[rows, sel]
         if best_sim is not None:
             nq, kk = best_sim.shape
             yield pa.RecordBatch.from_pydict(

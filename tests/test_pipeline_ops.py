@@ -280,3 +280,78 @@ def test_bpe_token_count_splits_punct(spark):
     r = with_bpe_token_count(df).first()
     # hello , world ! it ' s 42 . 5 degrees  -> 11 pieces
     assert r.n_bpe_tokens == 11
+
+
+# ---- round-2 regression tests (ADVICE.md) ----------------------------------
+
+
+def test_short_doc_shingles_independent_of_batch_neighbors(spark):
+    """A doc with fewer than k tokens gets ONE truncated gram computed
+    from its own tokens only — identical short docs must produce
+    identical shingles/signatures regardless of what follows them in
+    the flattened Arrow batch (ADVICE: cross-document contamination)."""
+    from dablooms_spark.operators.dedup import minhash_signatures
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta"),
+            (2, "xx yy zz ww vv uu tt ss rr qq"),
+            (3, "alpha beta"),
+            (4, "totally different trailing neighbor tokens here now"),
+        ],
+        ["doc_id", "text"],
+    ).coalesce(1)
+    rows = {r.doc_id: (list(r.shingles), list(r.sig)) for r in
+            minhash_signatures(docs, k=5, num_perms=16).collect()}
+    assert rows[1] == rows[3]
+    assert len(rows[1][0]) == 1  # exactly one truncated gram
+    # and it differs from the long docs' grams
+    assert rows[1][0][0] not in set(rows[2][0])
+
+
+def test_tdigest_nan_values_drop_matching_weights():
+    """NaN values must drop their weights too (ADVICE: misaligned
+    (value, weight) pairs silently skewed quantiles)."""
+    from dablooms_spark.core.tdigest import TDigest
+
+    t = TDigest(delta=100)
+    t.add([float("nan"), 100.0], weights=[5.0, 1000.0])
+    t.add([1.0], weights=[1.0])
+    # pre-fix the NaN's weight (5.0) landed on value 100 -> median ~50;
+    # post-fix weight 1000 stays on 100 -> median ~100 (interpolated)
+    assert float(t.quantile(0.5)) > 99.0
+    import numpy as np
+    assert np.allclose(t.weights, [1.0, 1000.0])
+
+
+def test_mp4_sniff_requires_ftyp_at_offset_4(spark):
+    """MP4 is 'ftyp' at byte offset 4, not a NUL-byte prefix (ADVICE:
+    over/under-matching magic)."""
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(b"\x00\x00\x00\x18ftypisom rest of box")),
+            (2, bytearray(b"\x00\x00\x00 three NULs, not mp4")),
+            (3, bytearray(b"RIFF....WAVE")),
+        ],
+        "row_id long, html binary",
+    )
+    got = {r.row_id: r.media_mime for r in with_media_meta(df).collect()}
+    assert got[1] == "video/mp4"
+    assert got[2] == "application/octet-stream"
+    assert got[3] == "audio/wav"
+
+
+def test_brute_force_topk_tie_break_across_partitions(spark):
+    """Exact-tie candidates (identical vectors) must keep the LOWEST
+    neighbor ids: local pruning uses the same (round(sim,6) desc,
+    id asc) ordering as the final rank (ADVICE: tied candidate with a
+    lower id could be pruned partition-locally)."""
+    vec = [1.0, 0.0, 2.0, 0.5]
+    corpus = spark.createDataFrame(
+        [(i, vec) for i in range(20)], "vec_id long, embedding array<double>"
+    ).repartition(5)
+    queries = spark.createDataFrame(
+        [(0, vec)], "vec_id long, embedding array<double>"
+    )
+    got = sorted(r.neighbor_id for r in brute_force_topk(corpus, queries, k=3).collect())
+    assert got == [0, 1, 2]

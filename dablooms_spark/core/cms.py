@@ -103,6 +103,16 @@ class CountMinSketch:
         rows = np.arange(self.depth, dtype=np.int64)[None, :]
         return self.table[rows, idx].min(axis=1)
 
+    def query_buffer(self, buf, offsets, lengths) -> np.ndarray:
+        """Vectorized point estimates over a flat byte buffer + offsets
+        (Arrow string/binary layout) — the zero-copy twin of query()."""
+        w1, w2 = murmur3_x64_128_buffer(buf, offsets, lengths, self.seed)
+        if len(w1) == 0:
+            return np.empty(0, dtype=np.int64)
+        idx = self._indexes(w1, w2)
+        rows = np.arange(self.depth, dtype=np.int64)[None, :]
+        return self.table[rows, idx].min(axis=1)
+
     # ---- merge / serde ---------------------------------------------------
 
     def merge(self, other: "CountMinSketch") -> "CountMinSketch":

@@ -332,9 +332,23 @@ def frequent_keys(
     sdf = df.select(F.col(key_col).cast("string").alias("k")).filter(
         F.col("k").isNotNull()
     )
-    sdf = sdf.persist()
     num_parts = sdf.rdd.getNumPartitions() or 1
-    local_threshold = max(1, min_count // num_parts)
+    local_threshold = min_count // num_parts
+    if local_threshold < 2:
+        # Degenerate pigeonhole: a local threshold of <=1 admits every
+        # distinct key as a candidate (the common case at scale when
+        # partitions outnumber min_count). The exact hash-aggregate IS
+        # the cheapest correct plan here — one shuffle of map-side
+        # combined (k, partial-count) pairs — so skip the sketch stages
+        # entirely rather than materialize all distinct keys anywhere.
+        return (
+            sdf.groupBy("k")
+            .agg(F.count("*").alias("cnt"))
+            .filter(F.col("cnt") >= min_count)
+            .withColumnRenamed("k", key_col)
+        )
+
+    sdf = sdf.persist()
 
     def local_candidates(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         acc: dict = {}
@@ -352,19 +366,29 @@ def frequent_keys(
 
     candidates = sdf.mapInArrow(local_candidates, schema="k string").distinct()
 
+    # CMS prune stays DISTRIBUTED: broadcast the merged sketch blob
+    # (bounded: d*w int64s) and probe candidates executor-side with the
+    # zero-copy buffer kernel. The candidate set never touches the
+    # driver — the round-1 version collect()ed it, which OOMs the
+    # driver whenever the pigeonhole stage is weak.
     cms = sketch_agg(sdf, "k", "cms", eps=cms_eps, delta=cms_delta)
-    cand_rows = [r.k for r in candidates.collect()]
-    if not cand_rows:
-        sdf.unpersist()
-        return spark.createDataFrame([], schema=f"{key_col} string, cnt long")
-    est = cms.query(cand_rows)
-    survivors = [k for k, e in zip(cand_rows, est) if int(e) >= min_count]
-    if not survivors:
-        sdf.unpersist()
-        return spark.createDataFrame([], schema=f"{key_col} string, cnt long")
-    surv_df = spark.createDataFrame([(s,) for s in survivors], ["k"])
+    bc_blob = spark.sparkContext.broadcast(cms.to_bytes())
+
+    def cms_prune(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        sk = CountMinSketch.from_bytes(bc_blob.value)
+        for batch in batches:
+            col = batch.column(0)
+            buf, offsets, lengths = arrow_byte_view(col)
+            est = sk.query_buffer(buf, offsets, lengths)
+            mask = est >= min_count
+            if mask.any():
+                yield pa.RecordBatch.from_arrays(
+                    [col.filter(pa.array(mask))], names=["k"]
+                )
+
+    survivors = candidates.mapInArrow(cms_prune, schema="k string")
     out = (
-        sdf.join(F.broadcast(surv_df), "k", "left_semi")
+        sdf.join(F.broadcast(survivors), "k", "left_semi")
         .groupBy("k")
         .agg(F.count("*").alias("cnt"))
         .filter(F.col("cnt") >= min_count)

@@ -141,3 +141,49 @@ def test_grouped_bloom_filters_per_type(spark, events):
         others = [f"{r.user_id}:zzz-{et}".encode() for r in rows][:2000]
         assert filt.check(members).all(), f"FN in group {et}"
         assert filt.check(others).mean() <= 0.05
+
+
+def test_frequent_keys_degenerate_threshold_uses_direct_agg(spark):
+    """min_count <= num_partitions: the pigeonhole stage admits every
+    distinct key, so frequent_keys must fall back to the exact
+    one-shuffle aggregate and NEVER materialize candidates (round-1
+    collected them to the driver — OOM at scale)."""
+    df = (
+        spark.range(0, 50_000)
+        .select((F.col("id") % 20_000).cast("string").alias("k"))
+        .repartition(16)
+    )
+    # 16 partitions, min_count 8 -> local threshold 0 -> degenerate
+    got = frequent_keys(df, "k", min_count=8)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" not in plan and "PythonMapInArrow" not in plan
+    exact = (
+        df.groupBy("k").agg(F.count("*").alias("cnt")).filter("cnt >= 8")
+    )
+    assert {(r.k, r.cnt) for r in got.collect()} == {
+        (r.k, r.cnt) for r in exact.collect()
+    }
+
+
+def test_frequent_keys_distributed_prune_no_driver_candidates(spark):
+    """Sketch path (min_count >> partitions): result exact, and the
+    candidate set is pruned executor-side via the broadcast CMS blob —
+    there is no candidates.collect() in the operator anymore, so a
+    large distinct-key universe is safe."""
+    import inspect
+
+    src = inspect.getsource(frequent_keys)
+    assert "candidates.collect" not in src
+
+    df = (
+        spark.range(0, 60_000)
+        .select(
+            F.when(F.col("id") % 3 == 0, F.lit("hot"))
+            .otherwise(F.col("id").cast("string"))
+            .alias("k")
+        )
+        .repartition(4)
+    )
+    got = frequent_keys(df, "k", min_count=1000)
+    rows = {(r.k, r.cnt) for r in got.collect()}
+    assert rows == {("hot", 20_000)}

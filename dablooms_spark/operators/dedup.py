@@ -251,6 +251,58 @@ def minhash_signatures(
     ).select(id_col, F.col("ss.shingles").alias("shingles"), F.col("ss.sig").alias("sig"))
 
 
+def _banded_candidate_pairs(
+    band_rows: DataFrame,
+    id_col: str,
+    hot_cap: int,
+    payload: str | None = None,
+) -> DataFrame:
+    """Candidate pairs (id_a < id_b) from (id, band_key[, payload])
+    rows, with HOT-BUCKET capping: a bucket of B co-hashed docs
+    produces B²/2 pairs in a naive self-join — at web scale one
+    boilerplate page repeated 5M times is a 10^13-pair bucket. Buckets
+    with <= hot_cap members keep the exact all-pairs self-join; larger
+    buckets emit STAR pairs against the bucket's min-id representative
+    (O(B) pairs), so every hot-bucket member still joins the same
+    candidate cluster and the downstream exact verification keeps
+    precision 1. Bucket stats come from a groupBy + join (not a
+    window) so AQE skew-join splitting applies to the hot key.
+    """
+    aggs = [F.count("*").alias("__bsz"), F.min(id_col).alias("__rep")]
+    if payload is not None:
+        aggs.append(F.min_by(payload, id_col).alias("__rep_payload"))
+    stats = band_rows.groupBy("band_key").agg(*aggs)
+    br = band_rows.join(stats, "band_key")
+
+    small = br.filter(F.col("__bsz") <= hot_cap)
+    out_cols = [
+        F.col(f"l.{id_col}").alias("id_a"),
+        F.col(f"r.{id_col}").alias("id_b"),
+    ]
+    if payload is not None:
+        out_cols += [
+            F.col(f"l.{payload}").alias(f"{payload}_a"),
+            F.col(f"r.{payload}").alias(f"{payload}_b"),
+        ]
+    l = small.select(id_col, "band_key", *([payload] if payload else [])).alias("l")
+    r = small.select(id_col, "band_key", *([payload] if payload else [])).alias("r")
+    pairs_small = l.join(
+        r,
+        (F.col("l.band_key") == F.col("r.band_key"))
+        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    ).select(*out_cols)
+
+    hot = br.filter((F.col("__bsz") > hot_cap) & (F.col(id_col) != F.col("__rep")))
+    hot_cols = [F.col("__rep").alias("id_a"), F.col(id_col).alias("id_b")]
+    if payload is not None:
+        hot_cols += [
+            F.col("__rep_payload").alias(f"{payload}_a"),
+            F.col(payload).alias(f"{payload}_b"),
+        ]
+    pairs_hot = hot.select(*hot_cols)
+    return pairs_small.unionByName(pairs_hot).distinct()
+
+
 def minhash_lsh_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -260,11 +312,15 @@ def minhash_lsh_dedup(
     bands: int = 16,
     threshold: float = 0.7,
     seed: int = 42,
+    hot_cap: int = 1000,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard) with exact-verified
     Jaccard >= threshold. LSH with b bands of r = num_perms/b rows has
     candidate-recall ≈ 1-(1-t^r)^b; 16 bands × 4 rows catches t=0.7
-    pairs with p ≈ 0.97+."""
+    pairs with p ≈ 0.97+. Buckets larger than hot_cap fall back to
+    star pairs vs the min-id representative (see
+    _banded_candidate_pairs) — exact pair enumeration within a
+    5M-copy boilerplate bucket is quadratic and never what you want."""
     assert num_perms % bands == 0
     r = num_perms // bands
     sigs = minhash_signatures(df, text_col, id_col, k, num_perms, seed).persist()
@@ -281,19 +337,7 @@ def minhash_lsh_dedup(
             )
         ).alias("band_key"),
     )
-    left = band_rows.alias("l")
-    right = band_rows.alias("r")
-    candidates = (
-        left.join(
-            right,
-            (F.col("l.band_key") == F.col("r.band_key"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
-        )
-        .distinct()
-    )
+    candidates = _banded_candidate_pairs(band_rows, id_col, hot_cap)
     sh = sigs.select(F.col(id_col), F.col("shingles"))
     verified = (
         candidates.join(
@@ -379,11 +423,14 @@ def simhash_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    hot_cap: int = 1000,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash: candidates share one of four
     16-bit bands (any pair within Hamming distance 3 must agree on at
     least one band — pigeonhole), verified exactly with
-    bit_count(a ^ b) <= max_hamming in Catalyst."""
+    bit_count(a ^ b) <= max_hamming in Catalyst. Buckets larger than
+    hot_cap use star pairs vs the min-id representative (see
+    _banded_candidate_pairs)."""
     fps = simhash_fingerprints(df, text_col, id_col).persist()
     bands = fps.select(
         F.col(id_col),
@@ -402,22 +449,14 @@ def simhash_dedup(
             )
         ).alias("band_key"),
     )
-    l, r = bands.alias("l"), bands.alias("r")
     pairs = (
-        l.join(
-            r,
-            (F.col("l.band_key") == F.col("r.band_key"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        _banded_candidate_pairs(bands, id_col, hot_cap, payload="simhash")
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))),
         )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            F.bit_count(
-                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
-            ).alias("hamming"),
-        )
-        .distinct()
         .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
     )
     out = pairs.persist()
     out.count()

@@ -46,7 +46,7 @@ _HDR = struct.Struct("<4sHBBQdIIQQQ")
 class CountingBloom:
     """One counting-bloom layer with fixed geometry."""
 
-    __slots__ = ("geometry", "counters", "count", "first_id", "seed")
+    __slots__ = ("geometry", "counters", "count", "first_id", "seed", "on_overflow")
 
     def __init__(
         self,
@@ -56,11 +56,22 @@ class CountingBloom:
         seed: int = DABLOOMS_SEED,
         _counters: np.ndarray | None = None,
         _count: int = 0,
+        on_overflow: str = "saturate",
     ):
+        if on_overflow not in ("saturate", "error"):
+            raise ValueError("on_overflow must be 'saturate' or 'error'")
         self.geometry = BloomGeometry(capacity, error_rate)
         self.seed = seed
         self.first_id = int(first_id)
         self.count = int(_count)
+        # "saturate" (default): counters clamp at 15/0 — keeps
+        # distributed counter-sum merges exact and associative.
+        # "error": reference parity — bitmap_increment (src/dablooms.c
+        # ≈L108) REFUSES an increment that would overflow a 4-bit
+        # counter, and bitmap_decrement (≈L122) refuses decrementing a
+        # zero counter. Batch calls raise atomically (no partial
+        # mutation), unlike the reference's per-key error return.
+        self.on_overflow = on_overflow
         if _counters is None:
             self.counters = np.zeros(self.geometry.size, dtype=np.uint8)
         else:
@@ -91,15 +102,36 @@ class CountingBloom:
                 cur += counts.astype(np.int32)
             else:
                 cur -= counts.astype(np.int32)
+            self._strict_check(cur)
             np.clip(cur, 0, 15, out=cur)
             self.counters[uniq] = cur.astype(np.uint8)
         else:
             acc = np.zeros(self.geometry.size, dtype=np.int32)
             np.add.at(acc, flat, delta)
             acc += self.counters
+            self._strict_check(acc)
             np.clip(acc, 0, 15, out=acc)
             self.counters = acc.astype(np.uint8)
         self.count += delta * n
+
+    def _strict_check(self, raw: np.ndarray) -> None:
+        """Reference-parity refusal (on_overflow='error'): raise before
+        any counter mutation if the batch would overflow a 4-bit
+        counter (bitmap_increment ≈L108) or decrement a zero counter
+        (bitmap_decrement ≈L122)."""
+        if self.on_overflow != "error":
+            return
+        if raw.max(initial=0) > 15:
+            raise OverflowError(
+                "increment would overflow a 4-bit counter "
+                "(reference bitmap_increment refusal; use "
+                "on_overflow='saturate' for mergeable distributed builds)"
+            )
+        if raw.min(initial=0) < 0:
+            raise OverflowError(
+                "decrement of a zero counter refused "
+                "(reference bitmap_decrement parity)"
+            )
 
     def add(self, keys) -> None:
         """Batch add: scatter +1 on all banded indices, saturating at 15

@@ -137,3 +137,39 @@ def test_distributed_remove(spark, tmp_path):
     bloom_remove(cfilt, dels, "key")
     assert cfilt.check(kept).all()
     assert cfilt.check(gone).mean() <= 0.05 * 1.2
+
+def test_strict_overflow_parity_modes():
+    """Reference bitmap_increment (src/dablooms.c ≈L108) REFUSES an
+    increment that would overflow a 4-bit counter; bitmap_decrement
+    (≈L122) refuses decrementing a zero counter. on_overflow='error'
+    reproduces both; the default 'saturate' keeps distributed merges
+    exact."""
+    import pytest
+    from dablooms_spark.core.counting_bloom import CountingBloom
+
+    # one key added 16 times: its counters hit 15 then must refuse
+    strict = CountingBloom(100, 0.05, on_overflow="error")
+    key = [b"overflow-key"]
+    for _ in range(15):
+        strict.add(key)
+    before = strict.counters.copy()
+    with pytest.raises(OverflowError):
+        strict.add(key)
+    assert (strict.counters == before).all()  # refusal is atomic
+    assert strict.check(key).all()  # still a member after the refusal
+
+    # underflow refusal: removing a never-added key
+    with pytest.raises(OverflowError):
+        strict.remove([b"never-added-key-zzz"])
+
+    # default mode saturates silently at 15 / clamps at 0
+    sat = CountingBloom(100, 0.05)
+    for _ in range(20):
+        sat.add(key)
+    assert sat.counters.max() == 15
+    sat.remove([b"never-added-key-zzz"])
+    assert sat.counters.min() == 0
+
+    # bad mode name rejected
+    with pytest.raises(ValueError):
+        CountingBloom(100, 0.05, on_overflow="wrap")

@@ -182,6 +182,88 @@ def lsh_topk(
     )
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_centroids: int = 16,
+    iters: int = 2,
+    seed: int = 42,
+) -> np.ndarray:
+    """Distributed Lloyd iterations for IVF centroids, deterministic.
+
+    Init is the smallest-xxhash64(id) sample; each iteration is one
+    corpus scan emitting per-PARTITION partial (cell, sum_vec, count)
+    stats (map-side combine — the shuffle-free shape), reduced on the
+    driver in sorted (cell, shard) order so float summation order is
+    fixed. Driver traffic is O(C·P·d) centroid stats, never vectors.
+    Empty cells keep their previous centroid.
+    """
+    spark = corpus.sparkSession
+    sample = (
+        corpus.select(id_col, vec_col)
+        .withColumn("__h", F.xxhash64(F.col(id_col), F.lit(seed)))
+        .orderBy("__h")
+        .limit(num_centroids)
+        .collect()
+    )
+    cent = _normalize(np.array([r[vec_col] for r in sample], dtype=np.float64))
+    C, dim = cent.shape
+    vecs = corpus.select(vec_col)
+
+    for _ in range(max(0, iters)):
+        bc_c = spark.sparkContext.broadcast(cent)
+
+        def partial_stats(
+            batches: Iterator[pa.RecordBatch],
+        ) -> Iterator[pa.RecordBatch]:
+            from pyspark import TaskContext
+
+            c = bc_c.value
+            sums = np.zeros((C, dim), np.float64)
+            counts = np.zeros(C, np.int64)
+            for batch in batches:
+                m = _normalize(_to_matrix(batch.column(0), np.float64))
+                if m.shape[0] == 0:
+                    continue
+                a = np.argmax(m @ c.T, axis=1)
+                np.add.at(sums, a, m)
+                counts += np.bincount(a, minlength=C)
+            shard = TaskContext.get().partitionId() if TaskContext.get() else 0
+            nz = np.nonzero(counts)[0]
+            if len(nz):
+                yield pa.RecordBatch.from_pydict(
+                    {
+                        "shard": np.full(len(nz), shard, np.int64),
+                        "cell": nz.astype(np.int64),
+                        "s": list(sums[nz]),
+                        "cnt": counts[nz],
+                    },
+                    schema=pa.schema(
+                        [
+                            ("shard", pa.int64()),
+                            ("cell", pa.int64()),
+                            ("s", pa.list_(pa.float64())),
+                            ("cnt", pa.int64()),
+                        ]
+                    ),
+                )
+
+        parts = vecs.mapInArrow(
+            partial_stats, schema="shard long, cell long, s array<double>, cnt long"
+        ).collect()
+        sums = np.zeros((C, dim), np.float64)
+        counts = np.zeros(C, np.int64)
+        for r in sorted(parts, key=lambda r: (r.cell, r.shard)):
+            sums[r.cell] += np.asarray(r.s, np.float64)
+            counts[r.cell] += r.cnt
+        nz = counts > 0
+        new_cent = cent.copy()
+        new_cent[nz] = sums[nz] / counts[nz, None]
+        cent = _normalize(new_cent)
+    return cent
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -191,28 +273,24 @@ def ivf_topk(
     num_centroids: int = 16,
     nprobe: int = 4,
     seed: int = 42,
+    train_iters: int = 2,
 ) -> DataFrame:
     """IVF-style ANN: corpus vectors are assigned to their nearest
     centroid (inverted lists); a query searches only its `nprobe`
     nearest centroids' lists with exact cosine re-ranking.
 
-    Centroids come from a deterministic hash-sample of the corpus
-    (k-means would need iterative passes; hash-sampling is the
-    one-scan approximation and keeps the operator deterministic).
-    At scale the corpus would be bucketed/written by centroid id so a
-    query's probe is a partition-pruned read; here the assignment is a
-    JVM-joinable column. Approximate recall (rows-only check).
+    Centroids are k-means-trained (train_iters distributed Lloyd
+    passes over a deterministic hash-sample init — see
+    train_ivf_centroids); train_iters=0 recovers the one-scan
+    hash-sample approximation. At scale the corpus would be
+    bucketed/written by centroid id so a query's probe is a
+    partition-pruned read; here the assignment is a JVM-joinable
+    column. Approximate recall (rows-only check).
     """
     spark = corpus.sparkSession
-    # deterministic centroid sample: smallest xxhash64(id) wins
-    sample = (
-        corpus.select(id_col, vec_col)
-        .withColumn("__h", F.xxhash64(F.col(id_col), F.lit(seed)))
-        .orderBy("__h")
-        .limit(num_centroids)
-        .collect()
+    cent = train_ivf_centroids(
+        corpus, vec_col, id_col, num_centroids, iters=train_iters, seed=seed
     )
-    cent = _normalize(np.array([r[vec_col] for r in sample], dtype=np.float64))
     bc = spark.sparkContext.broadcast(cent)
 
     def assign_udf(n_take: int):

@@ -84,6 +84,21 @@ def _q_bloom_anti_join_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_auto_semi_join_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strategy-choosing exact semi join (auto_semi_join): lineitems
+    whose part is in the large-size part dimension. At sf0.01 the dim
+    fits the broadcast threshold so the chooser picks a broadcast hash
+    join; forcing 'bloom'/'shuffle' yields identical rows (tested in
+    tests/test_spark_bloom.py)."""
+    from dablooms_spark.operators.bloom_probe import auto_semi_join
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") >= 25)
+    return auto_semi_join(lineitem, part, "l_partkey", dim_key="p_partkey").select(
+        "l_orderkey", "l_linenumber", "l_partkey"
+    )
+
+
 def _q_scaling_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scaling-filter membership with exact verification: which events
     keys from the second half of the stream were already seen in the
@@ -390,6 +405,7 @@ def _q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bloom_semi_join_orders": _q_bloom_semi_join_orders,
+        "auto_semi_join_lineitem": _q_auto_semi_join_lineitem,
         "bloom_anti_join_lineitem": _q_bloom_anti_join_lineitem,
         "scaling_bloom_membership": _q_scaling_bloom_membership,
         "frequent_users_events": _q_frequent_users,
@@ -428,6 +444,13 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             WHERE o_custkey IN (
                 SELECT c_custkey FROM customer WHERE c_acctbal > 0
+            )
+        """,
+        "auto_semi_join_lineitem": """
+            SELECT l_orderkey, l_linenumber, l_partkey
+            FROM lineitem
+            WHERE l_partkey IN (
+                SELECT p_partkey FROM part WHERE p_size >= 25
             )
         """,
         "bloom_anti_join_lineitem": """

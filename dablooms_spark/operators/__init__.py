@@ -9,6 +9,7 @@ from dablooms_spark.operators.bloom_probe import (
     bloom_probe_column,
     bloom_semi_join,
     bloom_anti_join,
+    auto_semi_join,
 )
 from dablooms_spark.operators.bloom_remove import bloom_remove
 from dablooms_spark.operators.sketch_agg import (
@@ -61,6 +62,7 @@ __all__ = [
     "bloom_probe_column",
     "bloom_semi_join",
     "bloom_anti_join",
+    "auto_semi_join",
     "bloom_remove",
     "sketch_agg",
     "grouped_sketch_agg",

@@ -173,3 +173,97 @@ def bloom_anti_join(
         dim, on=F.col(key_col) == F.col("__ek"), how="left_anti"
     )
     return misses.unionByName(confirmed_absent)
+
+
+def _parse_size_bytes(v: str) -> int:
+    """Spark size-string to bytes ('10m', '1g', '10485760b', '-1')."""
+    s = str(v).strip().lower()
+    mult = 1
+    for suffix, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                      ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1)):
+        if s.endswith(suffix):
+            s = s[: -len(suffix)]
+            mult = m
+            break
+    return int(float(s)) * mult
+
+
+def auto_semi_join(
+    probe_df: DataFrame,
+    dim_df: DataFrame,
+    on: str,
+    dim_key: str | None = None,
+    strategy: str = "auto",
+    error_rate: float = 0.01,
+    bloom_blob_budget: int = 64 << 20,
+    seed: int = DABLOOMS_SEED,
+) -> DataFrame:
+    """LEFT SEMI join with an explicit strategy decision — the
+    Python-side stand-in for a Catalyst runtime-filter rewrite rule
+    (SURVEY §4.2 stretch; a JVM rule needs Scala). Result is EXACTLY
+    `probe_df LEFT SEMI JOIN dim_df` under every strategy.
+
+    Decision (strategy='auto'), from plan statistics:
+      broadcast — dim's Catalyst sizeInBytes fits under
+        spark.sql.autoBroadcastJoinThreshold: hash-join with an
+        explicit broadcast hint, no shuffle of the probe side.
+      bloom — dim too big to broadcast whole, but a counting-bloom
+        over its distinct keys fits bloom_blob_budget (1 byte/counter
+        nibble pair): build-probe-verify — the probe side sheds
+        definite misses BEFORE the shuffle, and survivors are
+        confirmed with an exact semi join (no false positives leak).
+      shuffle — dim's key universe too big for a useful filter:
+        plain shuffled semi join, AQE handles skew.
+
+    The chosen strategy is recorded on the result as
+    `df.auto_semi_strategy` so tests/operators can assert the plan.
+    """
+    from dablooms_spark.core.geometry import BloomGeometry
+    from dablooms_spark.operators.bloom_build import build_counting_bloom
+
+    spark = probe_df.sparkSession
+    dk = dim_key or on
+    dim_keys = dim_df.select(F.col(dk))
+    n_keys: int | None = None
+
+    if strategy == "auto":
+        thr = _parse_size_bytes(
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10m")
+        )
+        size = int(
+            dim_df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        if 0 <= size <= thr:
+            strategy = "broadcast"
+        else:
+            # one counting pass over the (smaller) dim side prices the
+            # filter; the probe side is never scanned for stats
+            n_keys = dim_keys.distinct().count()
+            blob_size = BloomGeometry(max(n_keys, 1), error_rate).size
+            strategy = "bloom" if blob_size <= bloom_blob_budget else "shuffle"
+
+    cond = F.col(on) == F.col("__dk")
+    dimsel = dim_keys.withColumnRenamed(dk, "__dk")
+    if strategy == "broadcast":
+        out = probe_df.join(F.broadcast(dimsel.distinct()), cond, "left_semi")
+    elif strategy == "bloom":
+        if n_keys is None:
+            n_keys = dim_keys.distinct().count()
+        # build over the string-cast key: the probe UDF casts its key
+        # to string, so build/probe bytes must match
+        filt = build_counting_bloom(
+            dim_df.select(F.col(dk).cast("string").alias(dk)),
+            dk,
+            capacity=max(n_keys, 1),
+            error_rate=error_rate,
+            seed=seed,
+        )
+        out = bloom_semi_join(
+            probe_df, on, filt, exact_df=dim_df, exact_key=dk, seed=seed
+        )
+    elif strategy == "shuffle":
+        out = probe_df.join(dimsel.distinct(), cond, "left_semi")
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
+    out.auto_semi_strategy = strategy
+    return out

@@ -120,6 +120,51 @@ def _q_scaling_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing (multimodal): one row per byte-offset
+    slice, oracle-exact — slice lengths are pure arithmetic."""
+    from dablooms_spark.operators.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "blob", F.encode("text", "utf-8")
+    )
+    return sample_frames(docs, "blob", "doc_id", every_n_bytes=256).select(
+        "doc_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("frame_bytes").cast("long").alias("frame_bytes"),
+    )
+
+
+def _q_bloom_remove_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed remove (counter decrement) in a pipeline: build a
+    counting bloom over every click occurrence, remove the high-value
+    click occurrences, probe the distinct click users with exact
+    verification. No false negatives means users with a surviving
+    low-value click always pass; verification removes the FP residue —
+    oracle: DISTINCT users with a click of value <= 90."""
+    from dablooms_spark.operators.bloom_remove import bloom_remove
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").cast("string").alias("ukey")
+    )
+    n = clicks.count()
+    filt = build_counting_bloom(clicks, "ukey", capacity=max(n, 1), error_rate=0.01)
+    dels = events.filter(
+        (F.col("event_type") == "click") & (F.col("value") > 90)
+    ).select(F.col("user_id").cast("string").alias("ukey"))
+    bloom_remove(filt, dels, "ukey")
+    survivors_dim = (
+        events.filter((F.col("event_type") == "click") & (F.col("value") <= 90))
+        .select(F.col("user_id").cast("string").alias("skey"))
+        .distinct()
+    )
+    probe = clicks.distinct()
+    return bloom_semi_join(
+        probe, "ukey", filt, exact_df=survivors_dim, exact_key="skey"
+    ).select(F.col("ukey").alias("user_id"))
+
+
 def _q_frequent_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT heavy hitters via pigeonhole candidates + CMS prune +
     exact recount (operators.sketch_agg.frequent_keys)."""
@@ -406,6 +451,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bloom_semi_join_orders": _q_bloom_semi_join_orders,
         "auto_semi_join_lineitem": _q_auto_semi_join_lineitem,
+        "frame_samples_docs": _q_frame_samples,
+        "bloom_remove_membership": _q_bloom_remove_membership,
         "bloom_anti_join_lineitem": _q_bloom_anti_join_lineitem,
         "scaling_bloom_membership": _q_scaling_bloom_membership,
         "frequent_users_events": _q_frequent_users,
@@ -445,6 +492,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_custkey IN (
                 SELECT c_custkey FROM customer WHERE c_acctbal > 0
             )
+        """,
+        "frame_samples_docs": """
+            SELECT doc_id,
+                   CAST(t.i AS BIGINT) AS frame_idx,
+                   CAST(least(256, octet_length(CAST(text AS BLOB)) - CAST(t.i AS BIGINT) * 256) AS BIGINT) AS frame_bytes
+            FROM documents,
+                 LATERAL unnest(range(0, least(greatest(octet_length(CAST(text AS BLOB)) // 256, 1), 8))) AS t(i)
+        """,
+        "bloom_remove_membership": """
+            SELECT DISTINCT CAST(user_id AS VARCHAR) AS user_id
+            FROM events
+            WHERE event_type = 'click' AND value <= 90
         """,
         "auto_semi_join_lineitem": """
             SELECT l_orderkey, l_linenumber, l_partkey

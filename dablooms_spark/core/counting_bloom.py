@@ -38,6 +38,10 @@ _MAGIC = b"DBSK"
 _VERSION = 1
 _KIND_COUNTING = 1  # dense nibble payload
 _KIND_COUNTING_SPARSE = 2  # u64 nnz + index array + u8 counts
+# u64 nnz + u64 gap_len + u64 exc_len + delta-u8 gap stream +
+# (pos u32, gap u32) exceptions + u8 counts — ~2 B/counter vs 5 for
+# kind 2; only used while size fits u32 exception fields
+_KIND_COUNTING_SPARSE_GAPS = 3
 # magic 4s | version u16 | kind u8 | pad u8 | capacity u64 | error f64 |
 # nfuncs u32 | pad u32 | counts_per_func u64 | first_id u64 | count u64
 _HDR = struct.Struct("<4sHBBQdIIQQQ")
@@ -211,7 +215,10 @@ class CountingBloom:
                 raise ValueError("cannot merge counting blooms with different geometry")
             count += cnt_i
             first_id = fid_i if first_id is None else min(first_id, fid_i)
-            if kind == _KIND_COUNTING_SPARSE:
+            if kind == _KIND_COUNTING_SPARSE_GAPS:
+                idx, vals = cls._decode_sparse_gaps(blob)
+                np.add.at(acc, idx, vals.astype(np.int32))
+            elif kind == _KIND_COUNTING_SPARSE:
                 (nnz,) = struct.unpack_from("<Q", blob, _HDR.size)
                 idx_dtype = np.uint64 if g.size > 0xFFFFFFFF else np.uint32
                 off = _HDR.size + 8
@@ -284,6 +291,21 @@ class CountingBloom:
 
     # ---- serde ---------------------------------------------------------
 
+    @staticmethod
+    def _decode_sparse_gaps(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
+        """(absolute int64 indices, u8 counts) from a kind-3 payload."""
+        from dablooms_spark.core.codec import delta_decode
+
+        nnz, gl, el = struct.unpack_from("<QQQ", blob, _HDR.size)
+        off = _HDR.size + 24
+        gaps = blob[off : off + gl]
+        off += gl
+        exc = blob[off : off + el]
+        off += el
+        idx = delta_decode(gaps, exc)
+        vals = np.frombuffer(blob, dtype=np.uint8, count=nnz, offset=off)
+        return idx, vals
+
     def to_bytes(self) -> bytes:
         """Self-describing blob; picks dense nibble packing (the
         dablooms file layout) or a sparse (index, count) encoding,
@@ -292,15 +314,23 @@ class CountingBloom:
         counters out of N·k/ln2 — stage-1 partial blobs shrink ~10x,
         which is exactly the bytes the merge shuffle and the driver
         collect pay for."""
+        from dablooms_spark.core.codec import delta_encode
+
         g = self.geometry
-        nnz = int(np.count_nonzero(self.counters))
+        nz = np.flatnonzero(self.counters)
+        nnz = len(nz)
         idx_width = 8 if g.size > 0xFFFFFFFF else 4
         sparse_bytes = 8 + nnz * (idx_width + 1)
-        kind = (
-            _KIND_COUNTING_SPARSE
-            if sparse_bytes < g.num_nibble_bytes
-            else _KIND_COUNTING
-        )
+        gaps_b = exc_b = b""
+        gaps_bytes = None
+        if g.size <= 0xFFFFFFFF:
+            gaps_b, exc_b = delta_encode(nz.astype(np.int64))
+            gaps_bytes = 24 + len(gaps_b) + len(exc_b) + nnz
+        candidates = [(g.num_nibble_bytes, _KIND_COUNTING),
+                      (sparse_bytes, _KIND_COUNTING_SPARSE)]
+        if gaps_bytes is not None:
+            candidates.append((gaps_bytes, _KIND_COUNTING_SPARSE_GAPS))
+        kind = min(candidates)[1]
         header = _HDR.pack(
             _MAGIC,
             _VERSION,
@@ -314,8 +344,16 @@ class CountingBloom:
             self.first_id,
             self.count,
         )
+        if kind == _KIND_COUNTING_SPARSE_GAPS:
+            vals = self.counters[nz]
+            return (
+                header
+                + struct.pack("<QQQ", nnz, len(gaps_b), len(exc_b))
+                + gaps_b
+                + exc_b
+                + vals.tobytes()
+            )
         if kind == _KIND_COUNTING_SPARSE:
-            nz = np.flatnonzero(self.counters)
             vals = self.counters[nz]
             idx = nz.astype(np.uint64 if idx_width == 8 else np.uint32)
             return header + struct.pack("<Q", nnz) + idx.tobytes() + vals.tobytes()
@@ -340,12 +378,18 @@ class CountingBloom:
             first_id,
             count,
         ) = _HDR.unpack_from(blob, 0)
-        if magic != _MAGIC or kind not in (_KIND_COUNTING, _KIND_COUNTING_SPARSE):
+        if magic != _MAGIC or kind not in (
+            _KIND_COUNTING, _KIND_COUNTING_SPARSE, _KIND_COUNTING_SPARSE_GAPS
+        ):
             raise ValueError("not a counting-bloom blob")
         g = BloomGeometry(capacity, error_rate)
         if g.nfuncs != nfuncs or g.counts_per_func != cpf:
             raise ValueError("blob geometry does not match its config")
-        if kind == _KIND_COUNTING_SPARSE:
+        if kind == _KIND_COUNTING_SPARSE_GAPS:
+            idx, vals = cls._decode_sparse_gaps(blob)
+            counters = np.zeros(g.size, dtype=np.uint8)
+            counters[idx] = vals
+        elif kind == _KIND_COUNTING_SPARSE:
             (nnz,) = struct.unpack_from("<Q", blob, _HDR.size)
             idx_dtype = np.uint64 if g.size > 0xFFFFFFFF else np.uint32
             off = _HDR.size + 8

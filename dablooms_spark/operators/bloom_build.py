@@ -121,36 +121,10 @@ def _tree_merge(blob_df: DataFrame, seed: int, fanin: int = 8, collect_threshold
     return filt, total
 
 
-def _delta_encode(local_idx: np.ndarray) -> tuple[bytes, bytes]:
-    """Sorted indices → (u8 gap stream, exception pairs).
-
-    Average gap between nonzero counters is size/nnz (≈ ln2·k/α per
-    key at load factor α), typically well under 256, so u8 gaps plus
-    a rare (position u32, true-gap u32) exception list cut the merge
-    shuffle from 4 B to ~1 B per counter index. Both encode and decode
-    are pure vectorized numpy."""
-    if len(local_idx) == 0:
-        return b"", b""
-    gaps = np.diff(local_idx, prepend=np.int64(0))
-    gaps[0] = local_idx[0]
-    big = gaps >= 255
-    out = np.where(big, 255, gaps).astype(np.uint8)
-    if big.any():
-        pos = np.flatnonzero(big).astype(np.uint32)
-        true = gaps[big].astype(np.uint32)
-        exc = np.empty(2 * len(pos), dtype=np.uint32)
-        exc[0::2] = pos
-        exc[1::2] = true
-        return out.tobytes(), exc.tobytes()
-    return out.tobytes(), b""
-
-
-def _delta_decode(gap_bytes: bytes, exc_bytes: bytes) -> np.ndarray:
-    gaps = np.frombuffer(gap_bytes, dtype=np.uint8).astype(np.int64)
-    if len(exc_bytes):
-        exc = np.frombuffer(exc_bytes, dtype=np.uint32)
-        gaps[exc[0::2].astype(np.int64)] = exc[1::2]
-    return np.cumsum(gaps)
+# the delta-u8 gap codec lives in core/codec.py (shared with the
+# sparse blob serde); keep the private aliases for in-module callers
+from dablooms_spark.core.codec import delta_decode as _delta_decode  # noqa: E402
+from dablooms_spark.core.codec import delta_encode as _delta_encode  # noqa: E402
 
 
 def _chunk_pieces_build(

@@ -105,6 +105,25 @@ def main():
     if "scaling" in jobs:
         sb = loads(bytes(spark.read.parquet(out_dir).first().blob))
         assert sb.count == total
+
+    # itemized stage costs (diagnostic, not a headline number): where
+    # does the scaling build spend time — per-shard partials (kernel +
+    # 16B/row shuffle) vs blob merge + artifact write (the serial-ish
+    # tail that caps Amdahl scaling)?
+    item = {}
+    if "scaling" in jobs and os.environ.get("SCALING_ITEMIZE"):
+        item_dir = f"{ckpt_root}/scaling-itemized"
+        t0 = time.perf_counter()
+        partials = scaling_bloom_partials(
+            wp, "text", "row_id", capacity=200_000, error_rate=0.01,
+            num_shards=partitions,
+        ).persist()
+        partials.count()
+        item["scaling_partials_sec"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        merge_blobs_df(partials).write.mode("overwrite").parquet(item_dir)
+        item["scaling_merge_write_sec"] = round(time.perf_counter() - t0, 3)
+        partials.unpersist()
     shutil.rmtree(ckpt_root, ignore_errors=True)
     shutil.rmtree(os.path.dirname(data_dir), ignore_errors=True)
 
@@ -134,6 +153,7 @@ def main():
         assert hashed_n == total
 
     out = {"cores": cores, "rows": total}
+    out.update(item)
     for name, ts in (("hash_kernel", t_hash), ("counting_build", t_counting),
                      ("scaling_build", t_scaling)):
         if ts:

@@ -17,9 +17,13 @@ import zipfile
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def make_pyfiles_zip() -> str:
-    """Package dablooms_spark for --py-files (the north_rule run mode)."""
-    tmp = tempfile.mkdtemp()
+def make_snapshot() -> tuple[str, str]:
+    """Freeze the code ONCE for every level: both the --py-files zip
+    and a repo-layout copy the worker script runs from (the worker
+    sys.path-inserts its repo root, so running the copied worker pins
+    the package even if the live repo changes mid-bench). Returns
+    (zip_path, worker_path)."""
+    tmp = tempfile.mkdtemp(prefix="dablooms-bench-")
     zpath = os.path.join(tmp, "dablooms_spark.zip")
     pkg = os.path.join(REPO, "dablooms_spark")
     with zipfile.ZipFile(zpath, "w") as z:
@@ -28,11 +32,16 @@ def make_pyfiles_zip() -> str:
                 if f.endswith(".py"):
                     full = os.path.join(root, f)
                     z.write(full, os.path.relpath(full, REPO))
-    return zpath
+    shutil.copytree(pkg, os.path.join(tmp, "dablooms_spark"),
+                    ignore=shutil.ignore_patterns("__pycache__"))
+    os.makedirs(os.path.join(tmp, "tools"), exist_ok=True)
+    worker = os.path.join(tmp, "tools", "bench_scaling_worker.py")
+    shutil.copy2(os.path.join(REPO, "tools", "bench_scaling_worker.py"), worker)
+    return zpath, worker
 
 
-def run_level(cores: int, n_rows: int, partitions: int, zpath: str) -> dict:
-    worker = os.path.join(REPO, "tools", "bench_scaling_worker.py")
+def run_level(cores: int, n_rows: int, partitions: int, zpath: str,
+              worker: str) -> dict:
     spark_submit = shutil.which("spark-submit")
     if spark_submit:
         cmd = [
@@ -62,10 +71,10 @@ def main():
     levels = [
         int(x) for x in os.environ.get("SCALING_LEVELS", "8,32").split(",")
     ]
+    zpath, worker = make_snapshot()
     results = {}
     for c in levels:
-        zpath = make_pyfiles_zip()
-        results[c] = run_level(c, n_rows, partitions, zpath)
+        results[c] = run_level(c, n_rows, partitions, zpath, worker)
         print(f"local[{c}]: {results[c]}")
 
     n, m = levels

@@ -343,26 +343,28 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     nbits: int = 8,
     seed: int = 42,
+    hot_cap: int = 1000,
 ) -> DataFrame:
     """Near-duplicate (id_a < id_b, sim >= min_sim) pairs within LSH
-    buckets, exact cosine verified JVM-side."""
+    buckets, exact cosine verified JVM-side. Buckets above hot_cap
+    (identical boilerplate embeddings repeated millions of times emit
+    B²/2 pairs otherwise) collapse to star pairs against the min-id
+    representative — same capping as the text-dedup LSH."""
+    from dablooms_spark.operators.dedup import _banded_candidate_pairs
+
     dim = len(corpus.select(vec_col).first()[0])
     code = _hyperplane_code_udf(dim, nbits, seed)
-    c = corpus.select(F.col(id_col), F.col(vec_col)).withColumn(
-        "bucket", code(vec_col)
-    )
-    l = c.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket"
-    )
-    r = c.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket"
-    )
-    pairs = l.join(r, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    band_rows = corpus.select(
+        F.col(id_col), F.col(vec_col).alias("__v")
+    ).withColumn("band_key", code("__v"))
+    pairs = _banded_candidate_pairs(band_rows, id_col, hot_cap, payload="__v")
     dot = F.aggregate(
-        F.zip_with("va", "vb", lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
+        F.zip_with("__v_a", "__v_b", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda a, x: a + x,
     )
-    na = F.sqrt(F.aggregate("va", F.lit(0.0), lambda a, x: a + x * x))
-    nb = F.sqrt(F.aggregate("vb", F.lit(0.0), lambda a, x: a + x * x))
+    na = F.sqrt(F.aggregate("__v_a", F.lit(0.0), lambda a, x: a + x * x))
+    nb = F.sqrt(F.aggregate("__v_b", F.lit(0.0), lambda a, x: a + x * x))
     return (
         pairs.withColumn("sim", F.round(dot / (na * nb), 6))
         .filter(F.col("sim") >= min_sim)

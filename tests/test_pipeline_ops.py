@@ -425,3 +425,20 @@ def test_ivf_kmeans_centroids_improve_recall(spark, emb):
     r0, r3 = recall(0), recall(3)
     assert r3 >= r0 + 0.03, f"training did not improve recall: {r0} -> {r3}"
     assert r3 >= 0.6, f"trained IVF recall@5 too low: {r3}"
+
+
+def test_embedding_neardup_hot_bucket_capping(spark):
+    """2k identical embeddings collapse to star pairs vs the min-id
+    representative instead of ~2M bucket pairs (same capping as text
+    LSH dedup)."""
+    vec = [float(x) for x in range(8)]
+    n = 2000
+    rows = [(i, vec) for i in range(n)]
+    rows += [(10_000 + i, [float(x) + 50.0 * (i + 1) for x in range(8)]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").repartition(8)
+    pairs = embedding_neardup_pairs(df, min_sim=0.999, hot_cap=100)
+    got = [(r.id_a, r.id_b, r.sim) for r in pairs.collect()]
+    star = [p for p in got if p[1] < n]
+    assert len(star) == n - 1
+    assert all(a == 0 and s == 1.0 for a, _b, s in star)
+    assert len(got) < n + 50

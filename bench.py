@@ -147,11 +147,18 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> dict:
     build_counting_bloom(warm, "k", capacity=100, error_rate=0.05)
     lineitem.limit(10_000).count()
 
+    # min of BENCH_TRIALS runs per query: the sandbox's background
+    # load swings single-run numbers ±50%; the min is the engine's
+    # cost, the rest is the neighbor's
+    trials = int(os.environ.get("BENCH_TRIALS", "2"))
     times = {}
     for name, fn in suite.items():
-        t0 = time.perf_counter()
-        fn()
-        times[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 3)
     times["_counters"] = counters
     return times
 

@@ -271,10 +271,17 @@ def _banded_candidate_pairs(
     aggs = [F.count("*").alias("__bsz"), F.min(id_col).alias("__rep")]
     if payload is not None:
         aggs.append(F.min_by(payload, id_col).alias("__rep_payload"))
-    stats = band_rows.groupBy("band_key").agg(*aggs)
-    br = band_rows.join(stats, "band_key")
+    # Only HOT keys need stats attached, and hot keys are rare by
+    # definition (<= rows/hot_cap of them), so the flagging join is a
+    # BROADCAST of the filtered aggregate — band_rows itself is never
+    # re-shuffled for it. The groupBy shuffle moves map-side-combined
+    # (band_key, stats) uniques, a small fraction of the row volume.
+    hot_stats = (
+        band_rows.groupBy("band_key").agg(*aggs).filter(F.col("__bsz") > hot_cap)
+    )
+    br = band_rows.join(F.broadcast(hot_stats), "band_key", "left")
 
-    small = br.filter(F.col("__bsz") <= hot_cap)
+    small = br.filter(F.col("__bsz").isNull())
     out_cols = [
         F.col(f"l.{id_col}").alias("id_a"),
         F.col(f"r.{id_col}").alias("id_b"),
@@ -292,7 +299,7 @@ def _banded_candidate_pairs(
         & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
     ).select(*out_cols)
 
-    hot = br.filter((F.col("__bsz") > hot_cap) & (F.col(id_col) != F.col("__rep")))
+    hot = br.filter(F.col("__bsz").isNotNull() & (F.col(id_col) != F.col("__rep")))
     hot_cols = [F.col("__rep").alias("id_a"), F.col(id_col).alias("id_b")]
     if payload is not None:
         hot_cols += [

@@ -84,6 +84,31 @@ def _q_bloom_anti_join_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sharded_semi_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join against a SHARDED filter (filter-as-DataFrame — the
+    topology for filters too big to broadcast at 10^12 keys): build
+    16 shard blooms over high-balance customers, route+probe orders by
+    key-hash shard, confirm survivors exactly."""
+    from dablooms_spark.operators.sharded import (
+        build_sharded_counting_bloom,
+        sharded_semi_join,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    dim = customer.filter(F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey").cast("string").alias("ckey")
+    )
+    blobs = build_sharded_counting_bloom(
+        dim, "ckey", capacity=20000, error_rate=0.01, num_shards=16
+    )
+    probe = orders.withColumn("ckey", F.col("o_custkey").cast("string"))
+    return sharded_semi_join(
+        probe, "ckey", blobs, exact_df=dim, exact_key="ckey",
+        num_shards=16, salt=4,
+    ).select("o_orderkey", "o_custkey")
+
+
 def _q_auto_semi_join_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strategy-choosing exact semi join (auto_semi_join): lineitems
     whose part is in the large-size part dimension. At sf0.01 the dim
@@ -451,6 +476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bloom_semi_join_orders": _q_bloom_semi_join_orders,
         "auto_semi_join_lineitem": _q_auto_semi_join_lineitem,
+        "sharded_semi_join_orders": _q_sharded_semi_join_orders,
         "frame_samples_docs": _q_frame_samples,
         "bloom_remove_membership": _q_bloom_remove_membership,
         "bloom_anti_join_lineitem": _q_bloom_anti_join_lineitem,
@@ -504,6 +530,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT CAST(user_id AS VARCHAR) AS user_id
             FROM events
             WHERE event_type = 'click' AND value <= 90
+        """,
+        "sharded_semi_join_orders": """
+            SELECT o_orderkey, o_custkey
+            FROM orders
+            WHERE o_custkey IN (
+                SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+            )
         """,
         "auto_semi_join_lineitem": """
             SELECT l_orderkey, l_linenumber, l_partkey

@@ -12,6 +12,11 @@ from dablooms_spark.operators.bloom_probe import (
     auto_semi_join,
 )
 from dablooms_spark.operators.bloom_remove import bloom_remove
+from dablooms_spark.operators.sharded import (
+    build_sharded_counting_bloom,
+    sharded_bloom_probe,
+    sharded_semi_join,
+)
 from dablooms_spark.operators.sketch_agg import (
     sketch_agg,
     grouped_sketch_agg,
@@ -63,6 +68,9 @@ __all__ = [
     "bloom_semi_join",
     "bloom_anti_join",
     "auto_semi_join",
+    "build_sharded_counting_bloom",
+    "sharded_bloom_probe",
+    "sharded_semi_join",
     "bloom_remove",
     "sketch_agg",
     "grouped_sketch_agg",

@@ -216,3 +216,47 @@ def test_auto_semi_join_strategies_exact_and_plan(spark, sf_dir):
         assert out.auto_semi_strategy == "shuffle"
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_sharded_bloom_build_probe_and_semi_join(spark, sf_dir):
+    """Sharded filter (filter-as-DataFrame for sizes broadcast can't
+    reach): no false negatives across shards, FP bounded, semi join
+    with exact confirm matches LEFT SEMI; blobs-only build shuffle."""
+    from dablooms_spark.operators.sharded import (
+        build_sharded_counting_bloom,
+        sharded_bloom_probe,
+        sharded_semi_join,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    dim = orders.filter("o_totalprice > 100000").select(
+        F.col("o_custkey").cast("string").alias("ckey")
+    )
+    n_keys = dim.distinct().count()
+    blobs = build_sharded_counting_bloom(
+        dim, "ckey", capacity=max(n_keys * 2, 64), error_rate=0.01, num_shards=16
+    ).persist()
+    assert blobs.count() <= 16
+    assert blobs.agg(F.sum("n")).first()[0] == dim.count()
+
+    probe = orders.select(F.col("o_custkey").cast("string").alias("ckey")).distinct()
+    probed = sharded_bloom_probe(probe, "ckey", blobs, num_shards=16, salt=4)
+    got = {r.ckey: r.is_member for r in probed.collect()}
+    members = {r.ckey for r in dim.distinct().collect()}
+    # bloom invariant per shard: every true member must pass
+    assert all(got[k] for k in members)
+    non = [k for k in got if k not in members]
+    fp = sum(got[k] for k in non) / max(len(non), 1)
+    assert fp <= 0.05, f"sharded FP rate {fp}"
+
+    expected = {
+        r.o_orderkey
+        for r in orders.filter(
+            F.col("o_custkey").cast("string").isin(list(members))
+        ).collect()
+    }
+    pr = orders.withColumn("ckey", F.col("o_custkey").cast("string"))
+    out = sharded_semi_join(pr, "ckey", blobs, exact_df=dim, exact_key="ckey",
+                            num_shards=16, salt=4)
+    assert {r.o_orderkey for r in out.collect()} == expected
+    blobs.unpersist()

@@ -12,6 +12,11 @@ from dablooms_spark.operators.bloom_probe import (
     auto_semi_join,
 )
 from dablooms_spark.operators.bloom_remove import bloom_remove
+from dablooms_spark.operators.udafs import (
+    sketch_udaf,
+    merge_sketch_udaf,
+    register_sketch_udafs,
+)
 from dablooms_spark.operators.sharded import (
     build_sharded_counting_bloom,
     sharded_bloom_probe,
@@ -68,6 +73,9 @@ __all__ = [
     "bloom_semi_join",
     "bloom_anti_join",
     "auto_semi_join",
+    "sketch_udaf",
+    "merge_sketch_udaf",
+    "register_sketch_udafs",
     "build_sharded_counting_bloom",
     "sharded_bloom_probe",
     "sharded_semi_join",

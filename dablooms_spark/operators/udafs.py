@@ -1,0 +1,165 @@
+"""Sketches as literal `groupBy().agg(...)` UDAFs (north_star: "all
+implemented as mergeable Aggregator UDAFs").
+
+Each factory returns a grouped-aggregate pandas UDF whose value is the
+sketch BLOB (binary) — mergeable by construction: feeding blobs back
+through `merge_sketch_udaf()` re-aggregates any rollup level without
+rescanning rows, because every sketch's merge is associative
+(register-max / counter-sum / centroid-union / compactor-concat).
+Scalar companions (estimate / quantile / query / check) read blobs
+back out, and `register_sketch_udafs(spark)` exposes the whole surface
+to SQL.
+
+Scale note: Spark executes a grouped-agg pandas UDF by shuffling the
+GROUP'S ROWS to one task (no map-side partial aggregation — the
+Python-UDAF limitation). For row volumes where that matters, use
+`grouped_sketch_agg` (operators/sketch_agg.py): same blobs, built as
+per-partition partials with a blob-only shuffle. The UDAF surface is
+the ergonomic/API-parity layer; compose the two freely — blobs are
+interchangeable (same serde, same geometry rules).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from pyspark.sql.functions import pandas_udf
+
+from dablooms_spark.operators.sketch_agg import _make, _update_from_arrow
+
+
+def _loads(blob: bytes):
+    from dablooms_spark.core.serde import loads
+
+    return loads(bytes(blob))
+
+
+def sketch_udaf(kind: str, **params):
+    """Grouped-agg UDAF building one `kind` sketch blob per group.
+    Usage: df.groupBy("g").agg(sketch_udaf("hll", p=14)(F.col("v")))."""
+
+    @pandas_udf("binary")
+    def agg(v: pd.Series) -> bytes:
+        sk, mode = _make(kind, params)
+        if len(v):
+            col = pa.array(
+                v.astype(str) if mode == "string" else v,
+                type=pa.large_string() if mode == "string" else pa.float64(),
+            )
+            if mode == "string":
+                _update_from_arrow(sk, mode, col)
+            else:
+                sk.add(v.to_numpy(dtype=np.float64))
+        return sk.to_bytes()
+
+    return agg
+
+
+def merge_sketch_udaf():
+    """Grouped-agg UDAF merging sketch BLOBS — re-aggregates any
+    rollup level from already-built blobs, no row rescans. Dispatches
+    on the blob's magic, so one merge UDAF serves every sketch kind."""
+
+    @pandas_udf("binary")
+    def merge(blobs: pd.Series) -> bytes:
+        it = iter(b for b in blobs if b is not None)
+        sk = _loads(next(it))
+        for b in it:
+            sk = sk.merge(_loads(b))
+        return sk.to_bytes()
+
+    return merge
+
+
+# ---- scalar blob readers ---------------------------------------------------
+# (factories, not module-level @pandas_udf: decorating at import time
+# would also run on executor module imports, where no session exists)
+
+
+def _hll_estimate_udf():
+    @pandas_udf("double")
+    def f(blobs: pd.Series) -> pd.Series:
+        return pd.Series([float(_loads(b).estimate()) for b in blobs])
+
+    return f
+
+
+def hll_estimate(col):
+    return _hll_estimate_udf()(col)
+
+
+def _sketch_count_udf():
+    @pandas_udf("long")
+    def f(blobs: pd.Series) -> pd.Series:
+        def n(b):
+            sk = _loads(b)
+            return int(getattr(sk, "count", getattr(sk, "total", getattr(sk, "n", 0))))
+
+        return pd.Series([n(b) for b in blobs])
+
+    return f
+
+
+def sketch_count(col):
+    """The sketch's exact element count (every kind tracks one)."""
+    return _sketch_count_udf()(col)
+
+
+def quantile_udf(q: float):
+    @pandas_udf("double")
+    def quantile(blobs: pd.Series) -> pd.Series:
+        return pd.Series(
+            [float(np.atleast_1d(_loads(b).quantile(q))[0]) for b in blobs]
+        )
+
+    return quantile
+
+
+def _cms_query_udf():
+    @pandas_udf("long")
+    def f(blobs: pd.Series, keys: pd.Series) -> pd.Series:
+        out = np.empty(len(blobs), np.int64)
+        for i, (b, k) in enumerate(zip(blobs, keys)):
+            out[i] = int(_loads(b).query([str(k).encode()])[0])
+        return pd.Series(out)
+
+    return f
+
+
+def cms_query(blob_col, key_col):
+    return _cms_query_udf()(blob_col, key_col)
+
+
+def _bloom_check_udf():
+    @pandas_udf("boolean")
+    def f(blobs: pd.Series, keys: pd.Series) -> pd.Series:
+        return pd.Series(
+            [bool(_loads(b).check([str(k).encode()])[0]) for b, k in zip(blobs, keys)]
+        )
+
+    return f
+
+
+def bloom_check(blob_col, key_col):
+    return _bloom_check_udf()(blob_col, key_col)
+
+
+def register_sketch_udafs(spark) -> None:
+    """SQL surface: SELECT g, dablooms_hll_estimate(
+    dablooms_hll_agg(v)) FROM t GROUP BY g — plus merge/cms/kll/
+    tdigest/bloom equivalents."""
+    spark.udf.register("dablooms_hll_agg", sketch_udaf("hll", p=14))
+    spark.udf.register("dablooms_cms_agg", sketch_udaf("cms", eps=1e-4, delta=0.01))
+    spark.udf.register("dablooms_tdigest_agg", sketch_udaf("tdigest", delta=200))
+    spark.udf.register("dablooms_kll_agg", sketch_udaf("kll", k=200))
+    spark.udf.register(
+        "dablooms_bloom_agg",
+        sketch_udaf("counting_bloom", capacity=100_000, error_rate=0.01),
+    )
+    spark.udf.register("dablooms_merge_agg", merge_sketch_udaf())
+    spark.udf.register("dablooms_hll_estimate", _hll_estimate_udf())
+    spark.udf.register("dablooms_count", _sketch_count_udf())
+    spark.udf.register("dablooms_median", quantile_udf(0.5))
+    spark.udf.register("dablooms_cms_query", _cms_query_udf())
+    spark.udf.register("dablooms_bloom_check", _bloom_check_udf())

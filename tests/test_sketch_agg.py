@@ -187,3 +187,87 @@ def test_frequent_keys_distributed_prune_no_driver_candidates(spark):
     got = frequent_keys(df, "k", min_count=1000)
     rows = {(r.k, r.cnt) for r in got.collect()}
     assert rows == {("hot", 20_000)}
+
+
+def test_sketch_udaf_surface_and_merge_reagg(spark, events):
+    """Literal groupBy().agg() UDAF surface: per-group HLL blobs match
+    exact distincts; merging per-group blobs via merge_sketch_udaf
+    equals a global build (associativity, no row rescans); SQL
+    registration works end-to-end."""
+    from dablooms_spark.operators.udafs import (
+        hll_estimate,
+        merge_sketch_udaf,
+        register_sketch_udafs,
+        sketch_udaf,
+    )
+
+    hll = sketch_udaf("hll", p=14)
+    per_type = events.groupBy("event_type").agg(hll(F.col("user_id")).alias("blob"))
+    got = {
+        r.event_type: r.est
+        for r in per_type.select(
+            "event_type", hll_estimate(F.col("blob")).alias("est")
+        ).collect()
+    }
+    exact = {
+        r.event_type: r.d
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    for k, d in exact.items():
+        assert abs(got[k] - d) / max(d, 1) < 0.05, k
+
+    # re-aggregate blobs -> global estimate == merge associativity
+    merged = per_type.agg(merge_sketch_udaf()(F.col("blob")).alias("blob"))
+    g_est = merged.select(hll_estimate(F.col("blob")).alias("e")).first().e
+    g_exact = events.select(F.countDistinct("user_id")).first()[0]
+    assert abs(g_est - g_exact) / g_exact < 0.05
+
+    # SQL surface
+    register_sketch_udafs(spark)
+    events.createOrReplaceTempView("ev_udaf_t")
+    row = spark.sql(
+        """SELECT dablooms_hll_estimate(dablooms_merge_agg(blob)) AS est
+           FROM (SELECT event_type, dablooms_hll_agg(user_id) AS blob
+                 FROM ev_udaf_t GROUP BY event_type)"""
+    ).first()
+    assert abs(row.est - g_exact) / g_exact < 0.05
+
+
+def test_sketch_udaf_quantiles_and_bloom(spark, events):
+    from dablooms_spark.operators.udafs import (
+        bloom_check,
+        quantile_udf,
+        sketch_udaf,
+    )
+
+    td = sketch_udaf("tdigest", delta=200)
+    med = (
+        events.groupBy("event_type")
+        .agg(td(F.col("value")).alias("blob"))
+        .select("event_type", quantile_udf(0.5)(F.col("blob")).alias("m"))
+    )
+    exact = {
+        r.event_type: r.m
+        for r in events.groupBy("event_type")
+        .agg(F.expr("percentile(value, 0.5)").alias("m"))
+        .collect()
+    }
+    for r in med.collect():
+        assert r.m == pytest.approx(exact[r.event_type], rel=0.1), r.event_type
+
+    bloom = sketch_udaf("counting_bloom", capacity=10_000, error_rate=0.01)
+    blobs = events.groupBy("event_type").agg(
+        bloom(F.col("user_id")).alias("blob")
+    )
+    probe = blobs.select(
+        "event_type", bloom_check(F.col("blob"), F.lit("1")).alias("hit")
+    )
+    # user 1 exists in events: groups containing them must report True
+    users_by_type = {
+        r.event_type
+        for r in events.filter("user_id = 1").select("event_type").distinct().collect()
+    }
+    got = {r.event_type: r.hit for r in probe.collect()}
+    assert all(got[t] for t in users_by_type)

@@ -1,0 +1,126 @@
+"""Windowed streaming sketch aggregation with watermark-bounded state.
+
+The incremental builder (streaming/incremental.py) keeps ONE filter
+per shard forever — the reference's lifetime-filter semantics. This
+module adds the event-time-window variant a web pipeline needs for
+"distinct URLs per hour" style questions: one HLL per (window, group),
+updated per micro-batch, FINALIZED and evicted when the watermark
+passes the window end (EventTimeTimeout), so state is bounded by
+(windows in flight × groups), never by stream length.
+
+Late data: rows later than the watermark are dropped by Spark before
+the stateful operator (standard windowed-agg semantics — contrast the
+lifetime filter, where dablooms id-routing makes late rows land in
+their historic layer instead).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from dablooms_spark.core.hll import HyperLogLog
+from dablooms_spark.functions.murmur import DABLOOMS_SEED
+
+OUTPUT_SCHEMA = (
+    "win_start timestamp, group string, approx_distinct double, final boolean"
+)
+STATE_SCHEMA = "blob binary, win_end_ms long"
+
+
+def make_windowed_hll_updater(p: int, seed: int = DABLOOMS_SEED):
+    """State-update fn for applyInPandasWithState keyed by
+    (window_start, window_end_ms, group)."""
+
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state,
+    ) -> Iterator[pd.DataFrame]:
+        win_start, win_end_ms, group = key
+        if state.hasTimedOut:
+            # watermark passed the window end: emit the FINAL answer
+            # and evict — this is the state bound
+            blob, _ = state.get
+            h = HyperLogLog.from_bytes(bytes(blob))
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "win_start": [win_start],
+                    "group": [group],
+                    "approx_distinct": [float(h.estimate())],
+                    "final": [True],
+                }
+            )
+            return
+        if state.exists:
+            blob, _ = state.get
+            h = HyperLogLog.from_bytes(bytes(blob))
+        else:
+            h = HyperLogLog(p=p, seed=seed)
+        for pdf in pdfs:
+            if len(pdf):
+                h.add([k.encode() for k in pdf.key.astype(str)])
+        state.update((bytearray(h.to_bytes()), int(win_end_ms)))
+        # fire once the event-time watermark passes the window end
+        state.setTimeoutTimestamp(int(win_end_ms))
+        yield pd.DataFrame(
+            {
+                "win_start": [win_start],
+                "group": [group],
+                "approx_distinct": [float(h.estimate())],
+                "final": [False],
+            }
+        )
+
+    return update
+
+
+def windowed_distinct_stream(
+    stream_df,
+    ts_col: str,
+    key_col: str,
+    group_col: str | None = None,
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+    p: int = 12,
+    seed: int = DABLOOMS_SEED,
+):
+    """Streaming approximate distinct-count per event-time window
+    (and optional group). Returns the streaming DataFrame
+    (win_start, group, approx_distinct, final); attach a sink with a
+    checkpointLocation. Rows emit per micro-batch (final=false) and
+    once more when the watermark closes the window (final=true)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    # watermarks require TIMESTAMP (with zone); parquet often stores NTZ
+    wm = stream_df.withColumn(
+        ts_col, F.col(ts_col).cast("timestamp")
+    ).withWatermark(ts_col, watermark)
+    g = (
+        F.col(group_col).cast("string")
+        if group_col is not None
+        else F.lit("__all__")
+    )
+    keyed = wm.select(
+        F.window(F.col(ts_col), window).alias("win"),
+        g.alias("group"),
+        F.col(key_col).cast("string").alias("key"),
+        F.col(ts_col).alias(ts_col),
+    ).select(
+        F.col("win.start").alias("win_start"),
+        (F.unix_millis(F.col("win.end"))).alias("win_end_ms"),
+        "group",
+        "key",
+        ts_col,
+    )
+    update = make_windowed_hll_updater(p, seed)
+    return keyed.groupBy("win_start", "win_end_ms", "group").applyInPandasWithState(
+        update,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -161,3 +161,52 @@ def test_webtable_partition_pruning(spark, tmp_path_factory):
     # and never the html column for a url-only projection
     scan = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert scan and "html" not in scan[0]
+
+
+def test_streaming_windowed_hll_with_watermark(spark, tmp_path_factory):
+    """Event-time windowed HLL distinct: estimates near exact per
+    window, and a window FINALIZES (and its state evicts) once the
+    watermark passes its end."""
+    from dablooms_spark.streaming.windowed import windowed_distinct_stream
+
+    src = str(tmp_path_factory.mktemp("wstream_src")) + "/in"
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    # batch 1: early window; batch 2: events far enough ahead that the
+    # watermark passes batch 1's windows
+    lo = events.filter("ts < timestamp'2024-01-02'")
+    hi = events.filter("ts >= timestamp'2024-01-05'")
+    assert lo.count() > 0 and hi.count() > 0
+    lo.coalesce(1).write.mode("append").parquet(src)
+    hi.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = windowed_distinct_stream(
+        stream, "ts", "user_id", window="6 hours", watermark="1 hour", p=12
+    )
+    ckpt = str(tmp_path_factory.mktemp("wstream_ckpt"))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("win_hll")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("select * from win_hll").collect()
+    assert rows, "no windowed updates emitted"
+    finals = {r.win_start: r.approx_distinct for r in rows if r.final}
+    assert finals, "watermark never finalized a window"
+    exact = {
+        r.w["start"]: r.d
+        for r in events.select(F.window("ts", "6 hours").alias("w"), "user_id")
+        .groupBy("w")
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    for ws, est in finals.items():
+        assert abs(est - exact[ws]) / max(exact[ws], 1) < 0.1, ws

@@ -399,12 +399,22 @@ def scaling_bloom_partials(
     return hashed.mapInArrow(build_partition, schema=_BLOB_SCHEMA)
 
 
-def merge_blobs_df(blob_df: DataFrame, seed: int = DABLOOMS_SEED, fanin: int = 8) -> DataFrame:
+def merge_blobs_df(
+    blob_df: DataFrame,
+    seed: int = DABLOOMS_SEED,
+    fanin: int = 8,
+    num_blobs: int | None = None,
+) -> DataFrame:
     """Merge a (shard, blob, n) DataFrame down to ONE blob row, fully
     inside Spark — the result never visits the driver. Chain with a
     parquet write for the scalable build→checkpoint→broadcast flow
     (at 10^12 rows the merged filter is GBs; collecting it is the
-    anti-pattern, checkpointing it is the product)."""
+    anti-pattern, checkpointing it is the product).
+
+    Pass num_blobs (an upper bound is fine — builders know their shard
+    count) to size the merge tree WITHOUT a count() action: counting
+    an un-persisted blob_df materializes the whole expensive partials
+    stage once for the count and again for the downstream write."""
     import math as _math
 
     def merge_group(pdf):
@@ -416,7 +426,7 @@ def merge_blobs_df(blob_df: DataFrame, seed: int = DABLOOMS_SEED, fanin: int = 8
         )
 
     df = blob_df
-    n = df.count()
+    n = num_blobs if num_blobs is not None else df.count()
     while n > 1:
         k = _math.ceil(n / fanin)
         df = (

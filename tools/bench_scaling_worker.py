@@ -96,7 +96,7 @@ def main():
             wp, "text", "row_id", capacity=200_000, error_rate=0.01,
             num_shards=partitions,
         )
-        merged = merge_blobs_df(partials)
+        merged = merge_blobs_df(partials, num_blobs=partitions)
         merged.write.mode("overwrite").parquet(out_dir)
         t_scaling.append(time.perf_counter() - t0)
         n_check = spark.read.parquet(out_dir).select("n").first()[0]
@@ -121,7 +121,7 @@ def main():
         partials.count()
         item["scaling_partials_sec"] = round(time.perf_counter() - t0, 3)
         t0 = time.perf_counter()
-        merge_blobs_df(partials).write.mode("overwrite").parquet(item_dir)
+        merge_blobs_df(partials, num_blobs=partitions).write.mode("overwrite").parquet(item_dir)
         item["scaling_merge_write_sec"] = round(time.perf_counter() - t0, 3)
         partials.unpersist()
     shutil.rmtree(ckpt_root, ignore_errors=True)

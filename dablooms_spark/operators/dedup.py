@@ -265,8 +265,9 @@ def _banded_candidate_pairs(
     buckets emit STAR pairs against the bucket's min-id representative
     (O(B) pairs), so every hot-bucket member still joins the same
     candidate cluster and the downstream exact verification keeps
-    precision 1. Bucket stats come from a groupBy + join (not a
-    window) so AQE skew-join splitting applies to the hot key.
+    precision 1. Hot-bucket stats attach via a BROADCAST join of the
+    filtered aggregate (hot keys are rare by definition), so band rows
+    are never re-shuffled to learn their bucket size.
     """
     aggs = [F.count("*").alias("__bsz"), F.min(id_col).alias("__rep")]
     if payload is not None:

@@ -145,6 +145,24 @@ def _q_scaling_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_extracted_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic html->text extraction (input_hint byte-identity
+    invariant): wrap each doc in html, extract, return the text —
+    oracle reproduces the same regexp pipeline in DuckDB."""
+    from dablooms_spark.operators.textops import with_extracted_text
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "html",
+        F.encode(
+            F.concat(F.lit("<html><body>"), F.col("text"), F.lit("</body></html>")),
+            "utf-8",
+        ),
+    )
+    return with_extracted_text(docs, "html", "extracted").select(
+        "doc_id", "extracted"
+    )
+
+
 def _q_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing (multimodal): one row per byte-offset
     slice, oracle-exact — slice lengths are pure arithmetic."""
@@ -478,6 +496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "auto_semi_join_lineitem": _q_auto_semi_join_lineitem,
         "sharded_semi_join_orders": _q_sharded_semi_join_orders,
         "frame_samples_docs": _q_frame_samples,
+        "extracted_text_docs": _q_extracted_text,
         "bloom_remove_membership": _q_bloom_remove_membership,
         "bloom_anti_join_lineitem": _q_bloom_anti_join_lineitem,
         "scaling_bloom_membership": _q_scaling_bloom_membership,
@@ -518,6 +537,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_custkey IN (
                 SELECT c_custkey FROM customer WHERE c_acctbal > 0
             )
+        """,
+        "extracted_text_docs": """
+            SELECT doc_id,
+                   trim(regexp_replace(
+                       regexp_replace(
+                           regexp_replace(
+                               regexp_replace(
+                                   '<html><body>' || text || '</body></html>',
+                                   '<[^>]*>', ' ', 'g'),
+                               '&amp;', '&', 'g'),
+                           '&lt;', '<', 'g'),
+                       '\s+', ' ', 'g')) AS extracted
+            FROM documents
         """,
         "frame_samples_docs": """
             SELECT doc_id,

@@ -127,3 +127,27 @@ def shingle_hashes(
     return F.array_distinct(
         F.transform(grams, lambda g: F.pmod(F.xxhash64(g), F.lit(num_buckets)))
     )
+
+
+def with_extracted_text(
+    df: DataFrame, html_col: str = "html", out: str = "text"
+) -> DataFrame:
+    """Deterministic text extraction from an html binary column —
+    whole-stage-codegen Catalyst expressions only (UTF-8 decode, tag
+    strip, entity unescape, whitespace squeeze), so the extracted
+    bytes per url are identical on every run, every partition, every
+    cluster size: the input_hint's byte-identical-text invariant holds
+    by construction, with no extractor-library version variance.
+    Feed the output straight to the hash kernels (which hash `text`
+    exactly as stored — no further normalization)."""
+    decoded = F.decode(F.col(html_col), "UTF-8")
+    no_tags = F.regexp_replace(decoded, r"<[^>]*>", " ")
+    unescaped = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(no_tags, "&amp;", "&"), "&lt;", "<"
+        ),
+        "&gt;",
+        ">",
+    )
+    squeezed = F.trim(F.regexp_replace(unescaped, r"\s+", " "))
+    return df.withColumn(out, squeezed)

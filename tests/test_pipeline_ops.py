@@ -442,3 +442,26 @@ def test_embedding_neardup_hot_bucket_capping(spark):
     assert len(star) == n - 1
     assert all(a == 0 and s == 1.0 for a, _b, s in star)
     assert len(got) < n + 50
+
+
+def test_extracted_text_byte_identical_per_url(spark):
+    """input_hint invariant: the text fed to the hash kernel is
+    byte-identical per url — extraction is deterministic Catalyst, and
+    on the synthetic corpus (html = <html><body>{text}</body></html>)
+    it reproduces the stored text column exactly."""
+    from dablooms_spark.operators.textops import with_extracted_text
+    from dablooms_spark.sources import synth_webpages
+
+    wp = synth_webpages(spark, n_rows=2000, partitions=8)
+    ext = with_extracted_text(wp, "html", "extracted")
+    mismatches = ext.filter(
+        F.encode("extracted", "utf-8") != F.encode("text", "utf-8")
+    ).count()
+    assert mismatches == 0
+    # deterministic across runs/partitionings
+    ext2 = with_extracted_text(
+        synth_webpages(spark, n_rows=2000, partitions=3), "html", "extracted"
+    )
+    a = {r.url: r.extracted for r in ext.collect()}
+    b = {r.url: r.extracted for r in ext2.collect()}
+    assert a == b

@@ -145,6 +145,26 @@ def _q_scaling_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_clusters_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components (iterative min-label propagation, the
+    pairs->clusters dedup step). Deterministic 7-doc chain graph over
+    doc ids: pair (i, i+1) unless i % 7 == 6, so the closed-form
+    cluster label is i - i % 7 — SQL-expressible, and the chains force
+    ~3 propagation rounds (real transitivity, not one hop)."""
+    from dablooms_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("doc_id")).first()[0]
+    pairs = (
+        docs.filter((F.col("doc_id") % 7 != 6) & (F.col("doc_id") < mx))
+        .select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + 1).alias("id_b"),
+        )
+    )
+    return connected_components(pairs).select("node", "label")
+
+
 def _q_extracted_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic html->text extraction (input_hint byte-identity
     invariant): wrap each doc in html, extract, return the text —
@@ -497,6 +517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sharded_semi_join_orders": _q_sharded_semi_join_orders,
         "frame_samples_docs": _q_frame_samples,
         "extracted_text_docs": _q_extracted_text,
+        "dedup_clusters_chains": _q_dedup_clusters_chains,
         "bloom_remove_membership": _q_bloom_remove_membership,
         "bloom_anti_join_lineitem": _q_bloom_anti_join_lineitem,
         "scaling_bloom_membership": _q_scaling_bloom_membership,
@@ -537,6 +558,11 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_custkey IN (
                 SELECT c_custkey FROM customer WHERE c_acctbal > 0
             )
+        """,
+        "dedup_clusters_chains": """
+            SELECT doc_id AS node,
+                   CAST(doc_id - (doc_id % 7) AS BIGINT) AS label
+            FROM documents
         """,
         "extracted_text_docs": """
             SELECT doc_id,

@@ -17,6 +17,7 @@ from dablooms_spark.operators.udafs import (
     merge_sketch_udaf,
     register_sketch_udafs,
 )
+from dablooms_spark.operators.graph import connected_components, dedup_clusters
 from dablooms_spark.operators.sharded import (
     build_sharded_counting_bloom,
     sharded_bloom_probe,
@@ -76,6 +77,8 @@ __all__ = [
     "sketch_udaf",
     "merge_sketch_udaf",
     "register_sketch_udafs",
+    "connected_components",
+    "dedup_clusters",
     "build_sharded_counting_bloom",
     "sharded_bloom_probe",
     "sharded_semi_join",

@@ -465,3 +465,39 @@ def test_extracted_text_byte_identical_per_url(spark):
     a = {r.url: r.extracted for r in ext.collect()}
     b = {r.url: r.extracted for r in ext2.collect()}
     assert a == b
+
+
+def test_connected_components_chains_and_cliques(spark):
+    """Min-label propagation: chains (transitivity over several hops),
+    a clique, and an isolated pair all resolve to min-id labels."""
+    from dablooms_spark.operators.graph import connected_components, dedup_clusters
+
+    edges = (
+        [(i, i + 1) for i in range(0, 6)]        # chain 0..6
+        + [(10, 11), (10, 12), (11, 12)]          # clique
+        + [(100, 200)]                            # pair
+    )
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"]).repartition(4)
+    got = {r.node: r.label for r in connected_components(pairs).collect()}
+    assert all(got[i] == 0 for i in range(7))
+    assert got[10] == got[11] == got[12] == 10
+    assert got[100] == got[200] == 100
+
+    keep = {r.node: r.keep for r in dedup_clusters(pairs).collect()}
+    assert keep[0] and not any(keep[i] for i in range(1, 7))
+    assert keep[10] and keep[100] and not keep[200]
+
+
+def test_connected_components_from_minhash_pairs(spark, near_dup_docs):
+    """End-to-end: LSH pairs -> clusters; each planted duplicate pair
+    lands in one cluster with the original as representative."""
+    from dablooms_spark.operators.dedup import minhash_lsh_dedup
+    from dablooms_spark.operators.graph import connected_components
+
+    pairs = minhash_lsh_dedup(near_dup_docs, threshold=0.9, num_perms=64, bands=16)
+    labels = {r.node: r.label for r in connected_components(pairs).collect()}
+    for i in range(50, 70):
+        dup = i + 200_000
+        if dup in labels:  # found by LSH (recall ~1 at J=1)
+            assert labels[dup] == labels.get(i, labels[dup])
+            assert labels[dup] <= i

@@ -141,3 +141,48 @@ def sample_frames(
         df.select(F.col(id_col), F.posexplode(frames).alias("frame_idx", "frame"))
         .withColumn("frame_bytes", F.length("frame"))
     )
+
+
+def resize_media(
+    df: DataFrame,
+    binary_col: str = "html",
+    id_col: str = "row_id",
+    width: int = 8,
+    height: int = 8,
+    fake: bool = False,
+) -> DataFrame:
+    """Resize plumbing for opaque image bytes via mapInPandas:
+    (id, out_w, out_h, resized binary). As with decode_media the real
+    decoder is STUBBED (no image libs in this container); fake=True
+    treats the payload as a square single-channel bitmap (side =
+    floor(sqrt(len))) and nearest-neighbor-samples it to width*height
+    bytes — deterministic, so the batch shape, schema and partition
+    behavior (no shuffle, no row explosion) are real and tested, and
+    swapping in PIL/torchvision is a one-function change."""
+    schema = f"{id_col} long, out_w int, out_h int, resized binary"
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "no image decoder available in this environment; "
+                    "pass fake=True for the deterministic stand-in"
+                )
+            out = []
+            for b in pdf[binary_col]:
+                arr = np.frombuffer(b, dtype=np.uint8)
+                side = max(int(len(arr) ** 0.5), 1)
+                img = arr[: side * side].reshape(side, side)
+                yi = np.minimum((np.arange(height) * side) // height, side - 1)
+                xi = np.minimum((np.arange(width) * side) // width, side - 1)
+                out.append(img[np.ix_(yi, xi)].tobytes())
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "out_w": np.full(len(pdf), width, np.int32),
+                    "out_h": np.full(len(pdf), height, np.int32),
+                    "resized": out,
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(resize, schema=schema)

@@ -501,3 +501,21 @@ def test_connected_components_from_minhash_pairs(spark, near_dup_docs):
         if dup in labels:  # found by LSH (recall ~1 at J=1)
             assert labels[dup] == labels.get(i, labels[dup])
             assert labels[dup] <= i
+
+
+def test_resize_media_stub_plumbing(spark):
+    from dablooms_spark.operators.multimodal import resize_media
+
+    df = spark.createDataFrame(
+        [(i, bytearray(bytes(range(256)) * (i + 1))) for i in range(6)],
+        "row_id long, html binary",
+    )
+    with pytest.raises(Exception) as ei:
+        resize_media(df, fake=False).collect()
+    assert "NotImplementedError" in str(ei.value) or "decoder" in str(ei.value)
+
+    got = {r.row_id: r for r in resize_media(df, width=4, height=4, fake=True).collect()}
+    assert all(len(got[i].resized) == 16 for i in range(6))
+    # deterministic
+    got2 = {r.row_id: r for r in resize_media(df, width=4, height=4, fake=True).collect()}
+    assert all(bytes(got[i].resized) == bytes(got2[i].resized) for i in range(6))

@@ -113,6 +113,20 @@ class CountMinSketch:
         rows = np.arange(self.depth, dtype=np.int64)[None, :]
         return self.table[rows, idx].min(axis=1)
 
+    def inner_product(self, other: "CountMinSketch") -> int:
+        """Join-size estimate: Σ_k f_self(k)·f_other(k) ≈ the row count
+        of an inner join on the sketched key (Cormode & Muthukrishnan
+        2005 §4.2) — never underestimates, error ≤ ε·N_self·N_other
+        w.p. ≥ 1−δ. min over rows of the per-row table dot products."""
+        if (self.depth, self.width, self.seed) != (
+            other.depth,
+            other.width,
+            other.seed,
+        ):
+            raise ValueError("cannot inner-product CMS with different geometry/seed")
+        per_row = (self.table * other.table).sum(axis=1)
+        return int(per_row.min())
+
     # ---- merge / serde ---------------------------------------------------
 
     def merge(self, other: "CountMinSketch") -> "CountMinSketch":

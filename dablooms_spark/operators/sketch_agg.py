@@ -398,3 +398,23 @@ def frequent_keys(
     result.count()
     sdf.unpersist()
     return result
+
+
+def approx_join_size(
+    df_a: DataFrame,
+    key_a: str,
+    df_b: DataFrame,
+    key_b: str,
+    eps: float = 1e-4,
+    delta: float = 0.01,
+) -> int:
+    """Inner-join output-size estimate WITHOUT running the join: build
+    one CMS per side (map-side partials, blob-only merges) and take
+    the sketch inner product — Σ_k f_A(k)·f_B(k), never an
+    underestimate, error ≤ ε·|A|·|B| w.p. ≥ 1−δ. The planner-style
+    primitive behind broadcast/shuffle/bloom decisions when row
+    statistics are stale (compare auto_semi_join, which uses Catalyst
+    stats + a distinct count)."""
+    a = sketch_agg(df_a, key_a, "cms", eps=eps, delta=delta)
+    b = sketch_agg(df_b, key_b, "cms", eps=eps, delta=delta)
+    return a.inner_product(b)

@@ -271,3 +271,19 @@ def test_sketch_udaf_quantiles_and_bloom(spark, events):
     }
     got = {r.event_type: r.hit for r in probe.collect()}
     assert all(got[t] for t in users_by_type)
+
+
+def test_approx_join_size_brackets_exact(spark, events):
+    """CMS inner product: never underestimates the true join size and
+    stays within the published eps*|A|*|B| bound."""
+    from dablooms_spark.operators.sketch_agg import approx_join_size
+
+    a = events.filter("event_type = 'click'")
+    b = events.filter("event_type = 'view'")
+    exact = a.select(F.col("user_id").alias("k")).join(
+        b.select(F.col("user_id").alias("k")), "k"
+    ).count()
+    est = approx_join_size(a, "user_id", b, "user_id", eps=1e-4, delta=0.01)
+    na, nb = a.count(), b.count()
+    assert est >= exact
+    assert est <= exact + 1e-4 * na * nb + 1

@@ -10,6 +10,7 @@ from dablooms_spark.operators.bloom_probe import (
     bloom_semi_join,
     bloom_anti_join,
     auto_semi_join,
+    auto_anti_join,
 )
 from dablooms_spark.operators.bloom_remove import bloom_remove
 from dablooms_spark.operators.udafs import (
@@ -74,6 +75,7 @@ __all__ = [
     "bloom_semi_join",
     "bloom_anti_join",
     "auto_semi_join",
+    "auto_anti_join",
     "sketch_udaf",
     "merge_sketch_udaf",
     "register_sketch_udafs",

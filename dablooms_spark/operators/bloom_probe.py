@@ -267,3 +267,66 @@ def auto_semi_join(
         raise ValueError(f"unknown strategy {strategy!r}")
     out.auto_semi_strategy = strategy
     return out
+
+
+def auto_anti_join(
+    probe_df: DataFrame,
+    dim_df: DataFrame,
+    on: str,
+    dim_key: str | None = None,
+    strategy: str = "auto",
+    error_rate: float = 0.01,
+    bloom_blob_budget: int = 64 << 20,
+    seed: int = DABLOOMS_SEED,
+) -> DataFrame:
+    """LEFT ANTI twin of auto_semi_join — same stats-driven decision,
+    exactly `probe_df LEFT ANTI JOIN dim_df` under every strategy. The
+    bloom path is where anti joins shine at scale: a bloom MISS is a
+    definite negative (no false negatives), so the bulk of the probe
+    side passes through with zero join work and only the small
+    bloom-hit candidate set pays for the exact anti join."""
+    from dablooms_spark.core.geometry import BloomGeometry
+    from dablooms_spark.operators.bloom_build import build_counting_bloom
+
+    spark = probe_df.sparkSession
+    dk = dim_key or on
+    dim_keys = dim_df.select(F.col(dk))
+    n_keys: int | None = None
+
+    if strategy == "auto":
+        thr = _parse_size_bytes(
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10m")
+        )
+        size = int(
+            dim_df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        if 0 <= size <= thr:
+            strategy = "broadcast"
+        else:
+            n_keys = dim_keys.distinct().count()
+            blob_size = BloomGeometry(max(n_keys, 1), error_rate).size
+            strategy = "bloom" if blob_size <= bloom_blob_budget else "shuffle"
+
+    cond = F.col(on) == F.col("__dk")
+    dimsel = dim_keys.withColumnRenamed(dk, "__dk")
+    if strategy == "broadcast":
+        out = probe_df.join(F.broadcast(dimsel.distinct()), cond, "left_anti")
+    elif strategy == "bloom":
+        if n_keys is None:
+            n_keys = dim_keys.distinct().count()
+        filt = build_counting_bloom(
+            dim_df.select(F.col(dk).cast("string").alias(dk)),
+            dk,
+            capacity=max(n_keys, 1),
+            error_rate=error_rate,
+            seed=seed,
+        )
+        out = bloom_anti_join(
+            probe_df, on, filt, exact_df=dim_df, exact_key=dk, seed=seed
+        )
+    elif strategy == "shuffle":
+        out = probe_df.join(dimsel.distinct(), cond, "left_anti")
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
+    out.auto_semi_strategy = strategy
+    return out

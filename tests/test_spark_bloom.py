@@ -260,3 +260,26 @@ def test_sharded_bloom_build_probe_and_semi_join(spark, sf_dir):
                             num_shards=16, salt=4)
     assert {r.o_orderkey for r in out.collect()} == expected
     blobs.unpersist()
+
+
+def test_auto_anti_join_strategies_exact(spark, sf_dir):
+    """auto_anti_join returns exactly LEFT ANTI under all three
+    strategies."""
+    from dablooms_spark.operators.bloom_probe import auto_anti_join
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter("p_size >= 25")
+    expected = {
+        (r.l_orderkey, r.l_linenumber)
+        for r in lineitem.join(
+            part.select(F.col("p_partkey").alias("l_partkey")), "l_partkey", "left_anti"
+        ).collect()
+    }
+    assert expected
+    for strat in ("broadcast", "bloom", "shuffle"):
+        out = auto_anti_join(lineitem, part, "l_partkey", dim_key="p_partkey",
+                             strategy=strat)
+        got = {(r.l_orderkey, r.l_linenumber) for r in out.collect()}
+        assert got == expected, strat
+    out = auto_anti_join(lineitem, part, "l_partkey", dim_key="p_partkey")
+    assert out.auto_semi_strategy == "broadcast"

@@ -8,6 +8,7 @@ from dablooms_spark.core.hll import HyperLogLog
 from dablooms_spark.core.kll import KLLSketch
 from dablooms_spark.core.scaling_bloom import ScalingBloom
 from dablooms_spark.core.tdigest import TDigest
+from dablooms_spark.core.theta import ThetaSketch
 from dablooms_spark.functions.murmur import DABLOOMS_SEED
 
 _BY_MAGIC = {
@@ -17,6 +18,7 @@ _BY_MAGIC = {
     b"DBCM": "cms",
     b"DBTD": "tdigest",
     b"DBKL": "kll",
+    b"DBTH": "theta",
 }
 
 
@@ -37,4 +39,6 @@ def loads(blob: bytes, seed: int = DABLOOMS_SEED):
         return TDigest.from_bytes(bytes(blob))
     if kind == "kll":
         return KLLSketch.from_bytes(bytes(blob))
+    if kind == "theta":
+        return ThetaSketch.from_bytes(bytes(blob))
     raise ValueError(f"unknown sketch blob magic {magic!r}")

@@ -30,6 +30,7 @@ from dablooms_spark.core.counting_bloom import CountingBloom
 from dablooms_spark.core.hll import HyperLogLog
 from dablooms_spark.core.kll import KLLSketch
 from dablooms_spark.core.tdigest import TDigest
+from dablooms_spark.core.theta import ThetaSketch
 from dablooms_spark.functions.arrow_utils import arrow_byte_view
 from dablooms_spark.operators.bloom_build import _tree_merge
 
@@ -38,6 +39,7 @@ _KINDS = {
     "cms": (CountMinSketch, "string"),
     "tdigest": (TDigest, "numeric"),
     "kll": (KLLSketch, "numeric"),
+    "theta": (ThetaSketch, "string"),
     # per-group membership filters (e.g. one seen-URL filter per host);
     # factory kwargs: capacity, error_rate
     "counting_bloom": (CountingBloom, "string"),

@@ -287,3 +287,19 @@ def test_approx_join_size_brackets_exact(spark, events):
     na, nb = a.count(), b.count()
     assert est >= exact
     assert est <= exact + 1e-4 * na * nb + 1
+
+
+def test_theta_kmv_distributed_set_algebra(spark, events):
+    """From-scratch KMV theta through the two-phase distributed agg:
+    estimates vs exact intersection/difference without any join."""
+    from dablooms_spark.operators.sketch_agg import sketch_agg
+
+    clicks = events.filter("event_type = 'click'")
+    views = events.filter("event_type = 'view'")
+    a = sketch_agg(clicks, "user_id", "theta", k=2048)
+    b = sketch_agg(views, "user_id", "theta", k=2048)
+    ca = {r.user_id for r in clicks.select("user_id").distinct().collect()}
+    vb = {r.user_id for r in views.select("user_id").distinct().collect()}
+    assert abs(a.estimate() - len(ca)) / max(len(ca), 1) < 0.1
+    both = len(ca & vb)
+    assert abs(a.intersect_estimate(b) - both) / max(both, 1) < 0.2

@@ -207,3 +207,55 @@ def test_serde_dispatch():
         assert type(loads(o.to_bytes())) is type(o)
     with pytest.raises(ValueError):
         loads(b"XXXXnotasketch")
+
+
+class TestThetaKMV:
+    def test_exact_below_k_and_estimate_above(self):
+        from dablooms_spark.core.theta import ThetaSketch
+
+        t = ThetaSketch(k=256)
+        keys = [f"key-{i}".encode() for i in range(100)]
+        t.add(keys)
+        assert t.estimate() == 100.0  # exact while not full
+        big = ThetaSketch(k=256)
+        big.add([f"k-{i}".encode() for i in range(50_000)])
+        assert abs(big.estimate() - 50_000) / 50_000 < 0.15
+
+    def test_merge_order_invariant_bytes(self):
+        from dablooms_spark.core.theta import ThetaSketch
+
+        parts = []
+        for p in range(8):
+            t = ThetaSketch(k=512)
+            t.add([f"p{p}-{i}".encode() for i in range(3000)])
+            parts.append(t)
+        import functools
+        left = functools.reduce(lambda a, b: a.merge(b), parts)
+        right = functools.reduce(lambda a, b: b.merge(a), reversed(parts))
+        pairwise = parts[0].merge(parts[1]).merge(parts[2].merge(parts[3])).merge(
+            parts[4].merge(parts[5]).merge(parts[6].merge(parts[7]))
+        )
+        assert left.to_bytes() == right.to_bytes() == pairwise.to_bytes()
+
+    def test_set_algebra(self):
+        from dablooms_spark.core.theta import ThetaSketch
+
+        a, b = ThetaSketch(k=2048), ThetaSketch(k=2048)
+        a.add([f"common-{i}".encode() for i in range(8000)]
+              + [f"a-only-{i}".encode() for i in range(4000)])
+        b.add([f"common-{i}".encode() for i in range(8000)]
+              + [f"b-only-{i}".encode() for i in range(2000)])
+        assert abs(a.intersect_estimate(b) - 8000) / 8000 < 0.15
+        assert abs(a.difference_estimate(b) - 4000) / 4000 < 0.2
+        assert abs(a.union_estimate(b) - 14000) / 14000 < 0.1
+
+    def test_serde_roundtrip_and_loads(self):
+        from dablooms_spark.core.serde import loads
+        from dablooms_spark.core.theta import ThetaSketch
+
+        t = ThetaSketch(k=128)
+        t.add([f"x{i}".encode() for i in range(500)])
+        t2 = loads(t.to_bytes())
+        assert isinstance(t2, ThetaSketch)
+        assert t2.to_bytes() == t.to_bytes()
+        assert t2.estimate() == t.estimate()

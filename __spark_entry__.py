@@ -491,6 +491,33 @@ def _q_theta_set_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_theta_kmv_set_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same set algebra through the FROM-SCRATCH KMV theta sketch
+    (core/theta.py) built with the two-phase distributed agg — exact
+    while the distinct counts sit under k (retained values are the
+    full distinct hash sets, theta = 1)."""
+    from dablooms_spark.operators.sketch_agg import sketch_agg
+
+    events = load_table(spark, sf_dir, "events")
+    a = sketch_agg(
+        events.filter(F.col("event_type") == "click"), "user_id", "theta", k=65536
+    )
+    b = sketch_agg(
+        events.filter(F.col("event_type") == "purchase"), "user_id", "theta", k=65536
+    )
+    rows = [
+        (
+            int(a.estimate()),
+            int(b.estimate()),
+            int(a.intersect_estimate(b)),
+            int(a.difference_estimate(b)),
+        )
+    ]
+    return spark.createDataFrame(
+        rows, "in_a long, in_b long, in_both long, a_only long"
+    )
+
+
 def _q_salted_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe two-level aggregation (operators.skew) — result is
     exactly GROUP BY count, with the hot key spread across tasks."""
@@ -547,6 +574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_topk": _q_ivf_ann_topk,
         "salted_user_counts": _q_salted_user_counts,
         "theta_set_counts": _q_theta_set_counts,
+        "theta_kmv_set_counts": _q_theta_kmv_set_counts,
     }
 
 
@@ -755,6 +783,14 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY user_id
         """,
         "theta_set_counts": """
+            WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+                 b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+            SELECT (SELECT count(*) FROM a) AS in_a,
+                   (SELECT count(*) FROM b) AS in_b,
+                   (SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b)) AS in_both,
+                   (SELECT count(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b)) AS a_only
+        """,
+        "theta_kmv_set_counts": """
             WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
                  b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
             SELECT (SELECT count(*) FROM a) AS in_a,

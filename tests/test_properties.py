@@ -128,3 +128,56 @@ def test_delta_codec_roundtrip(idx):
     gaps, exc = _delta_encode(arr)
     out = _delta_decode(gaps, exc)
     assert np.array_equal(out, arr)
+
+
+@given(
+    nnz=st.integers(min_value=0, max_value=400),
+    cap=st.sampled_from([100, 5_000, 200_000]),
+    seed=st.integers(min_value=0, max_value=2**16),
+)
+@settings(max_examples=40, deadline=None)
+def test_blob_serde_roundtrip_any_density(nnz, cap, seed):
+    """to_bytes picks dense / sparse-index / sparse-gaps by size;
+    whichever layout wins, from_bytes restores identical counters."""
+    import numpy as np
+
+    from dablooms_spark.core.counting_bloom import CountingBloom
+
+    rng = np.random.RandomState(seed)
+    cb = CountingBloom(cap, 0.01)
+    if nnz:
+        idx = rng.choice(cb.geometry.size, size=min(nnz, cb.geometry.size), replace=False)
+        cb.counters[idx] = rng.randint(1, 16, size=len(idx)).astype(np.uint8)
+    restored = CountingBloom.from_bytes(cb.to_bytes())
+    assert (restored.counters == cb.counters).all()
+    assert restored.geometry == cb.geometry
+
+
+@given(
+    splits=st.lists(
+        st.lists(st.binary(min_size=1, max_size=24), min_size=0, max_size=200),
+        min_size=2,
+        max_size=5,
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_theta_merge_associative_bytes(splits):
+    """KMV theta: any merge tree over any partitioning of the keys is
+    byte-identical to the single-node build."""
+    import functools
+
+    from dablooms_spark.core.theta import ThetaSketch
+
+    parts = []
+    for chunk in splits:
+        t = ThetaSketch(k=64)
+        if chunk:
+            t.add(chunk)
+        parts.append(t)
+    single = ThetaSketch(k=64)
+    allkeys = [k for chunk in splits for k in chunk]
+    if allkeys:
+        single.add(allkeys)
+    ltr = functools.reduce(lambda a, b: a.merge(b), parts)
+    rtl = functools.reduce(lambda a, b: b.merge(a), reversed(parts))
+    assert ltr.to_bytes() == rtl.to_bytes() == single.to_bytes()

@@ -162,7 +162,15 @@ def _q_dedup_clusters_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") + 1).alias("id_b"),
         )
     )
-    return connected_components(pairs).select("node", "label")
+    labels = connected_components(pairs)
+    # isolated docs (possible at the table edge, e.g. when
+    # max(doc_id) % 7 == 0) are their own cluster — join back so the
+    # output covers every doc like the closed-form oracle does
+    return (
+        docs.select(F.col("doc_id").alias("node"))
+        .join(labels, "node", "left")
+        .select("node", F.coalesce("label", "node").alias("label"))
+    )
 
 
 def _q_extracted_text(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -199,32 +207,37 @@ def _q_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_bloom_remove_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed remove (counter decrement) in a pipeline: build a
-    counting bloom over every click occurrence, remove the high-value
-    click occurrences, probe the distinct click users with exact
-    verification. No false negatives means users with a surviving
-    low-value click always pass; verification removes the FP residue —
-    oracle: DISTINCT users with a click of value <= 90."""
+    """Distributed remove (counter decrement) in a pipeline: add each
+    DISTINCT click user once, remove the DISTINCT users whose every
+    click is high-value, probe the remaining membership with exact
+    verification. Distinct keys keep per-key increments at 1, far from
+    the 4-bit saturation ceiling — saturating counters + removals can
+    otherwise produce false negatives (the reference refuses such
+    increments instead; see on_overflow='error'). Oracle: DISTINCT
+    users with a click of value <= 90."""
     from dablooms_spark.operators.bloom_remove import bloom_remove
 
     events = load_table(spark, sf_dir, "events")
-    clicks = events.filter(F.col("event_type") == "click").select(
-        F.col("user_id").cast("string").alias("ukey")
+    click_users = (
+        events.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").cast("string").alias("ukey"))
+        .distinct()
     )
-    n = clicks.count()
-    filt = build_counting_bloom(clicks, "ukey", capacity=max(n, 1), error_rate=0.01)
-    dels = events.filter(
-        (F.col("event_type") == "click") & (F.col("value") > 90)
-    ).select(F.col("user_id").cast("string").alias("ukey"))
-    bloom_remove(filt, dels, "ukey")
     survivors_dim = (
         events.filter((F.col("event_type") == "click") & (F.col("value") <= 90))
         .select(F.col("user_id").cast("string").alias("skey"))
         .distinct()
     )
-    probe = clicks.distinct()
+    n = click_users.count()
+    filt = build_counting_bloom(
+        click_users, "ukey", capacity=max(n, 1), error_rate=0.01
+    )
+    dels = click_users.join(
+        survivors_dim, F.col("ukey") == F.col("skey"), "left_anti"
+    )
+    bloom_remove(filt, dels, "ukey")
     return bloom_semi_join(
-        probe, "ukey", filt, exact_df=survivors_dim, exact_key="skey"
+        click_users, "ukey", filt, exact_df=survivors_dim, exact_key="skey"
     ).select(F.col("ukey").alias("user_id"))
 
 
@@ -598,10 +611,12 @@ def oracle_sql() -> dict[str, str]:
                        regexp_replace(
                            regexp_replace(
                                regexp_replace(
-                                   '<html><body>' || text || '</body></html>',
-                                   '<[^>]*>', ' ', 'g'),
-                               '&amp;', '&', 'g'),
-                           '&lt;', '<', 'g'),
+                                   regexp_replace(
+                                       '<html><body>' || text || '</body></html>',
+                                       '<[^>]*>', ' ', 'g'),
+                                   '&lt;', '<', 'g'),
+                               '&gt;', '>', 'g'),
+                           '&amp;', '&', 'g'),
                        '\s+', ' ', 'g')) AS extracted
             FROM documents
         """,

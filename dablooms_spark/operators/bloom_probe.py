@@ -188,6 +188,71 @@ def _parse_size_bytes(v: str) -> int:
     return int(float(s)) * mult
 
 
+def _auto_runtime_join(
+    probe_df: DataFrame,
+    dim_df: DataFrame,
+    on: str,
+    how: str,
+    dim_key: str | None,
+    strategy: str,
+    error_rate: float,
+    bloom_blob_budget: int,
+    seed: int,
+) -> DataFrame:
+    """Shared decision + execution for auto_semi_join/auto_anti_join
+    (identical stats probe and strategy choice; only the join type and
+    the bloom primitive differ)."""
+    from dablooms_spark.core.geometry import BloomGeometry
+    from dablooms_spark.operators.bloom_build import build_counting_bloom
+
+    spark = probe_df.sparkSession
+    dk = dim_key or on
+    dim_keys = dim_df.select(F.col(dk))
+    n_keys: int | None = None
+
+    if strategy == "auto":
+        thr = _parse_size_bytes(
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10m")
+        )
+        size = int(
+            dim_df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        if 0 <= size <= thr:
+            strategy = "broadcast"
+        else:
+            # one counting pass over the (smaller) dim side prices the
+            # filter; the probe side is never scanned for stats
+            n_keys = dim_keys.distinct().count()
+            blob_size = BloomGeometry(max(n_keys, 1), error_rate).size
+            strategy = "bloom" if blob_size <= bloom_blob_budget else "shuffle"
+
+    cond = F.col(on) == F.col("__dk")
+    dimsel = dim_keys.withColumnRenamed(dk, "__dk")
+    if strategy == "broadcast":
+        out = probe_df.join(F.broadcast(dimsel.distinct()), cond, how)
+    elif strategy == "bloom":
+        if n_keys is None:
+            n_keys = dim_keys.distinct().count()
+        # build over the string-cast key: the probe UDF casts its key
+        # to string, so build/probe bytes must match
+        filt = build_counting_bloom(
+            dim_df.select(F.col(dk).cast("string").alias(dk)),
+            dk,
+            capacity=max(n_keys, 1),
+            error_rate=error_rate,
+            seed=seed,
+        )
+        join_fn = bloom_semi_join if how == "left_semi" else bloom_anti_join
+        out = join_fn(probe_df, on, filt, exact_df=dim_df, exact_key=dk, seed=seed)
+    elif strategy == "shuffle":
+        out = probe_df.join(dimsel.distinct(), cond, how)
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
+    out.auto_join_strategy = strategy
+    out.auto_semi_strategy = strategy  # back-compat alias
+    return out
+
+
 def auto_semi_join(
     probe_df: DataFrame,
     dim_df: DataFrame,
@@ -216,57 +281,13 @@ def auto_semi_join(
         plain shuffled semi join, AQE handles skew.
 
     The chosen strategy is recorded on the result as
-    `df.auto_semi_strategy` so tests/operators can assert the plan.
+    `df.auto_join_strategy` (alias `auto_semi_strategy`) so
+    tests/operators can assert the plan.
     """
-    from dablooms_spark.core.geometry import BloomGeometry
-    from dablooms_spark.operators.bloom_build import build_counting_bloom
-
-    spark = probe_df.sparkSession
-    dk = dim_key or on
-    dim_keys = dim_df.select(F.col(dk))
-    n_keys: int | None = None
-
-    if strategy == "auto":
-        thr = _parse_size_bytes(
-            spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10m")
-        )
-        size = int(
-            dim_df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        )
-        if 0 <= size <= thr:
-            strategy = "broadcast"
-        else:
-            # one counting pass over the (smaller) dim side prices the
-            # filter; the probe side is never scanned for stats
-            n_keys = dim_keys.distinct().count()
-            blob_size = BloomGeometry(max(n_keys, 1), error_rate).size
-            strategy = "bloom" if blob_size <= bloom_blob_budget else "shuffle"
-
-    cond = F.col(on) == F.col("__dk")
-    dimsel = dim_keys.withColumnRenamed(dk, "__dk")
-    if strategy == "broadcast":
-        out = probe_df.join(F.broadcast(dimsel.distinct()), cond, "left_semi")
-    elif strategy == "bloom":
-        if n_keys is None:
-            n_keys = dim_keys.distinct().count()
-        # build over the string-cast key: the probe UDF casts its key
-        # to string, so build/probe bytes must match
-        filt = build_counting_bloom(
-            dim_df.select(F.col(dk).cast("string").alias(dk)),
-            dk,
-            capacity=max(n_keys, 1),
-            error_rate=error_rate,
-            seed=seed,
-        )
-        out = bloom_semi_join(
-            probe_df, on, filt, exact_df=dim_df, exact_key=dk, seed=seed
-        )
-    elif strategy == "shuffle":
-        out = probe_df.join(dimsel.distinct(), cond, "left_semi")
-    else:
-        raise ValueError(f"unknown strategy {strategy!r}")
-    out.auto_semi_strategy = strategy
-    return out
+    return _auto_runtime_join(
+        probe_df, dim_df, on, "left_semi", dim_key, strategy,
+        error_rate, bloom_blob_budget, seed,
+    )
 
 
 def auto_anti_join(
@@ -285,48 +306,7 @@ def auto_anti_join(
     definite negative (no false negatives), so the bulk of the probe
     side passes through with zero join work and only the small
     bloom-hit candidate set pays for the exact anti join."""
-    from dablooms_spark.core.geometry import BloomGeometry
-    from dablooms_spark.operators.bloom_build import build_counting_bloom
-
-    spark = probe_df.sparkSession
-    dk = dim_key or on
-    dim_keys = dim_df.select(F.col(dk))
-    n_keys: int | None = None
-
-    if strategy == "auto":
-        thr = _parse_size_bytes(
-            spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10m")
-        )
-        size = int(
-            dim_df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        )
-        if 0 <= size <= thr:
-            strategy = "broadcast"
-        else:
-            n_keys = dim_keys.distinct().count()
-            blob_size = BloomGeometry(max(n_keys, 1), error_rate).size
-            strategy = "bloom" if blob_size <= bloom_blob_budget else "shuffle"
-
-    cond = F.col(on) == F.col("__dk")
-    dimsel = dim_keys.withColumnRenamed(dk, "__dk")
-    if strategy == "broadcast":
-        out = probe_df.join(F.broadcast(dimsel.distinct()), cond, "left_anti")
-    elif strategy == "bloom":
-        if n_keys is None:
-            n_keys = dim_keys.distinct().count()
-        filt = build_counting_bloom(
-            dim_df.select(F.col(dk).cast("string").alias(dk)),
-            dk,
-            capacity=max(n_keys, 1),
-            error_rate=error_rate,
-            seed=seed,
-        )
-        out = bloom_anti_join(
-            probe_df, on, filt, exact_df=dim_df, exact_key=dk, seed=seed
-        )
-    elif strategy == "shuffle":
-        out = probe_df.join(dimsel.distinct(), cond, "left_anti")
-    else:
-        raise ValueError(f"unknown strategy {strategy!r}")
-    out.auto_semi_strategy = strategy
-    return out
+    return _auto_runtime_join(
+        probe_df, dim_df, on, "left_anti", dim_key, strategy,
+        error_rate, bloom_blob_budget, seed,
+    )

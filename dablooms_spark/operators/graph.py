@@ -73,9 +73,21 @@ def connected_components(
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
+        # the previous round's checkpoint blocks are dead once the new
+        # round is materialized and compared — free them (best-effort)
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
+    else:
+        import warnings
+
+        warnings.warn(
+            f"connected_components stopped at max_iters={max_iters} before "
+            "convergence — a component with a larger diameter keeps "
+            "multiple labels; raise max_iters",
+            stacklevel=2,
+        )
     return labels
 
 

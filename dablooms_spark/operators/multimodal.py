@@ -82,10 +82,12 @@ def decode_media(
             # offsets (Arrow binary layout), one bincount of
             # doc_index*DIM + byte%DIM — no per-row Python loop, the
             # same shape a real vectorized decoder would use.
-            barr = pa.array(pdf[binary_col], type=pa.binary())
+            # large_binary: 64-bit offsets — a batch of ~1 MB blobs at
+            # default Arrow batch sizes exceeds the 2 GiB int32 limit
+            barr = pa.array(pdf[binary_col], type=pa.large_binary())
             if isinstance(barr, pa.ChunkedArray):
                 barr = barr.combine_chunks()
-            offsets = np.frombuffer(barr.buffers()[1], dtype=np.int32)[
+            offsets = np.frombuffer(barr.buffers()[1], dtype=np.int64)[
                 barr.offset : barr.offset + len(barr) + 1
             ].astype(np.int64)
             data_buf = barr.buffers()[2]
@@ -171,6 +173,11 @@ def resize_media(
             out = []
             for b in pdf[binary_col]:
                 arr = np.frombuffer(b, dtype=np.uint8)
+                if len(arr) == 0:
+                    # empty payload: deterministic all-zero frame (the
+                    # reshape below would raise on a 0-byte image)
+                    out.append(bytes(width * height))
+                    continue
                 side = max(int(len(arr) ** 0.5), 1)
                 img = arr[: side * side].reshape(side, side)
                 yi = np.minimum((np.arange(height) * side) // height, side - 1)

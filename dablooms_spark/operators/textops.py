@@ -142,12 +142,14 @@ def with_extracted_text(
     exactly as stored — no further normalization)."""
     decoded = F.decode(F.col(html_col), "UTF-8")
     no_tags = F.regexp_replace(decoded, r"<[^>]*>", " ")
+    # unescape &amp; LAST (standard HTML unescape order): doing it
+    # first would double-unescape &amp;lt; into '<' instead of '&lt;'
     unescaped = F.regexp_replace(
         F.regexp_replace(
-            F.regexp_replace(no_tags, "&amp;", "&"), "&lt;", "<"
+            F.regexp_replace(no_tags, "&lt;", "<"), "&gt;", ">"
         ),
-        "&gt;",
-        ">",
+        "&amp;",
+        "&",
     )
     squeezed = F.trim(F.regexp_replace(unescaped, r"\s+", " "))
     return df.withColumn(out, squeezed)

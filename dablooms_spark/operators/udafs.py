@@ -42,12 +42,11 @@ def sketch_udaf(kind: str, **params):
     @pandas_udf("binary")
     def agg(v: pd.Series) -> bytes:
         sk, mode = _make(kind, params)
+        v = v.dropna()  # NULLs are skipped, matching sketch_agg —
+        # astype(str) would otherwise inject a phantom 'None' key
         if len(v):
-            col = pa.array(
-                v.astype(str) if mode == "string" else v,
-                type=pa.large_string() if mode == "string" else pa.float64(),
-            )
             if mode == "string":
+                col = pa.array(v.astype(str), type=pa.large_string())
                 _update_from_arrow(sk, mode, col)
             else:
                 sk.add(v.to_numpy(dtype=np.float64))
@@ -64,7 +63,10 @@ def merge_sketch_udaf():
     @pandas_udf("binary")
     def merge(blobs: pd.Series) -> bytes:
         it = iter(b for b in blobs if b is not None)
-        sk = _loads(next(it))
+        first = next(it, None)
+        if first is None:  # all-NULL group (e.g. outer-join rows)
+            return None
+        sk = _loads(first)
         for b in it:
             sk = sk.merge(_loads(b))
         return sk.to_bytes()

@@ -617,7 +617,7 @@ def oracle_sql() -> dict[str, str]:
                                    '&lt;', '<', 'g'),
                                '&gt;', '>', 'g'),
                            '&amp;', '&', 'g'),
-                       '\s+', ' ', 'g')) AS extracted
+                       '\\s+', ' ', 'g')) AS extracted
             FROM documents
         """,
         "frame_samples_docs": """

@@ -43,7 +43,10 @@ class ThetaSketch:
         if k < 16:
             raise ValueError("k must be >= 16")
         self.k = int(k)
-        self.seed = seed
+        # normalize to u64 up front: to_bytes stores the seed masked,
+        # so an unnormalized (e.g. negative) live seed would round-trip
+        # to a different value and _check would refuse the merge
+        self.seed = int(seed) & 0xFFFFFFFFFFFFFFFF
         # sorted ascending uint64, len <= k, distinct
         self.values = (
             np.empty(0, np.uint64) if _values is None else _values

@@ -426,7 +426,11 @@ def merge_blobs_df(
         )
 
     df = blob_df
-    n = num_blobs if num_blobs is not None else df.count()
+    # clamp a caller-supplied estimate to >= 2: an underestimate of
+    # exactly 1 would skip the loop and silently return a multi-row
+    # frame; with 2 the final pass always runs one full merge (a true
+    # single-blob input just round-trips through one trivial group)
+    n = max(num_blobs, 2) if num_blobs is not None else df.count()
     while n > 1:
         k = _math.ceil(n / fanin)
         df = (

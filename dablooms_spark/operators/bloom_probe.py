@@ -111,11 +111,18 @@ def bloom_probe_column(
     bloom,
     out_col: str = "is_member",
     seed: int = DABLOOMS_SEED,
+    key_cast: str | None = None,
 ) -> DataFrame:
     """Append a Boolean membership column (no false negatives; false
-    positives ≤ the filter's configured bound)."""
+    positives ≤ the filter's configured bound).
+
+    `key_cast`: optional intermediate type the key is cast to BEFORE
+    the string cast — must match whatever cast the build side applied,
+    or the rendered bytes diverge and the filter false-negatives."""
     probe = bloom_probe_udf(df.sparkSession, bloom, seed)
     key = F.col(key_col) if isinstance(key_col, str) else key_col
+    if key_cast is not None:
+        key = key.cast(key_cast)
     return df.withColumn(out_col, probe(key.cast("string")))
 
 
@@ -126,13 +133,14 @@ def bloom_semi_join(
     exact_df: DataFrame | None = None,
     exact_key: str | None = None,
     seed: int = DABLOOMS_SEED,
+    key_cast: str | None = None,
 ) -> DataFrame:
     """probe_df rows whose key the filter reports present.
 
     With `exact_df`, surviving candidates are confirmed by a real
     LEFT SEMI join — exact results, bloom-pruned shuffle.
     """
-    out = bloom_probe_column(probe_df, key_col, bloom, "__bloom_hit", seed)
+    out = bloom_probe_column(probe_df, key_col, bloom, "__bloom_hit", seed, key_cast)
     out = out.filter(F.col("__bloom_hit")).drop("__bloom_hit")
     if exact_df is not None:
         ek = exact_key or key_col
@@ -151,6 +159,7 @@ def bloom_anti_join(
     exact_df: DataFrame | None = None,
     exact_key: str | None = None,
     seed: int = DABLOOMS_SEED,
+    key_cast: str | None = None,
 ) -> DataFrame:
     """Without `exact_df`: probe_df rows the filter reports ABSENT —
     guaranteed true negatives (the bloom invariant: no false negatives
@@ -162,7 +171,7 @@ def bloom_anti_join(
     small bloom-hit candidate set pays for an exact anti join. At scale
     the expensive join runs on ~|dim| + ε·|probe| rows instead of all
     of probe_df."""
-    out = bloom_probe_column(probe_df, key_col, bloom, "__bloom_hit", seed)
+    out = bloom_probe_column(probe_df, key_col, bloom, "__bloom_hit", seed, key_cast)
     misses = out.filter(~F.col("__bloom_hit")).drop("__bloom_hit")
     if exact_df is None:
         return misses
@@ -188,6 +197,33 @@ def _parse_size_bytes(v: str) -> int:
     return int(float(s)) * mult
 
 
+_INTEGRAL_TYPES = ("byte", "short", "integer", "long")
+
+
+def _bloom_key_cast(probe_type, dim_type) -> tuple[bool, str | None]:
+    """(bloom_safe, canonical_cast) for the runtime-filter strategy.
+
+    The bloom build/probe hash CAST(key AS STRING) bytes, while the
+    exact-join fallback compares keys NATIVELY (Catalyst coerces both
+    sides to a common type). If two natively-equal values render to
+    different strings (double 25.0 vs int 25, decimal scale), the bloom
+    false-negatives and the semi join silently drops rows. Safe cases:
+      - identical types: no cast needed;
+      - both integral: cast both sides to long (lossless, and equal
+        integrals always render identically as longs).
+    Anything else (float vs int, decimal vs double, string vs numeric)
+    is declared bloom-unsafe — callers fall back to an exact strategy
+    or raise, never risk a wrong answer."""
+    if probe_type == dim_type:
+        return True, None
+    if (
+        probe_type.typeName() in _INTEGRAL_TYPES
+        and dim_type.typeName() in _INTEGRAL_TYPES
+    ):
+        return True, "long"
+    return False, None
+
+
 def _auto_runtime_join(
     probe_df: DataFrame,
     dim_df: DataFrame,
@@ -209,6 +245,9 @@ def _auto_runtime_join(
     dk = dim_key or on
     dim_keys = dim_df.select(F.col(dk))
     n_keys: int | None = None
+    bloom_safe, key_cast = _bloom_key_cast(
+        probe_df.schema[on].dataType, dim_df.schema[dk].dataType
+    )
 
     if strategy == "auto":
         thr = _parse_size_bytes(
@@ -219,6 +258,10 @@ def _auto_runtime_join(
         )
         if 0 <= size <= thr:
             strategy = "broadcast"
+        elif not bloom_safe:
+            # key types string-render differently → bloom would false-
+            # negative; exact shuffle keeps the LEFT SEMI/ANTI contract
+            strategy = "shuffle"
         else:
             # one counting pass over the (smaller) dim side prices the
             # filter; the probe side is never scanned for stats
@@ -231,19 +274,35 @@ def _auto_runtime_join(
     if strategy == "broadcast":
         out = probe_df.join(F.broadcast(dimsel.distinct()), cond, how)
     elif strategy == "bloom":
+        if not bloom_safe:
+            raise ValueError(
+                f"bloom strategy is unsafe for key types "
+                f"{probe_df.schema[on].dataType.simpleString()} vs "
+                f"{dim_df.schema[dk].dataType.simpleString()}: natively-equal "
+                "values may render to different strings (false negatives). "
+                "Cast both keys to a common type first, or use "
+                "strategy='shuffle'/'broadcast'."
+            )
         if n_keys is None:
             n_keys = dim_keys.distinct().count()
         # build over the string-cast key: the probe UDF casts its key
-        # to string, so build/probe bytes must match
+        # to string, so build/probe bytes must match; differing integral
+        # types are canonicalized to long on BOTH sides
+        dim_key_expr = F.col(dk)
+        if key_cast is not None:
+            dim_key_expr = dim_key_expr.cast(key_cast)
         filt = build_counting_bloom(
-            dim_df.select(F.col(dk).cast("string").alias(dk)),
+            dim_df.select(dim_key_expr.cast("string").alias(dk)),
             dk,
             capacity=max(n_keys, 1),
             error_rate=error_rate,
             seed=seed,
         )
         join_fn = bloom_semi_join if how == "left_semi" else bloom_anti_join
-        out = join_fn(probe_df, on, filt, exact_df=dim_df, exact_key=dk, seed=seed)
+        out = join_fn(
+            probe_df, on, filt, exact_df=dim_df, exact_key=dk, seed=seed,
+            key_cast=key_cast,
+        )
     elif strategy == "shuffle":
         out = probe_df.join(dimsel.distinct(), cond, how)
     else:

@@ -158,6 +158,12 @@ def sharded_bloom_probe(
         buf, offs, lens = arrow_byte_view(arr)
         h1, h2 = dablooms_hash_words_buffer(buf, offs, lens, seed)
         verdict = cb.check_hashed(h1, h2)
+        # a NULL key is a definite non-member — astype(str) renders it
+        # as the literal 'None'/'nan', which must not alias a real key
+        # (mirrors _check_arrow's null handling in bloom_probe)
+        nulls = probe_pdf[key_col].isna().to_numpy()
+        if nulls.any():
+            verdict &= ~nulls
         return out.assign(**{out_col: verdict})
 
     return (

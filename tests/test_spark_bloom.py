@@ -283,3 +283,89 @@ def test_auto_anti_join_strategies_exact(spark, sf_dir):
         assert got == expected, strat
     out = auto_anti_join(lineitem, part, "l_partkey", dim_key="p_partkey")
     assert out.auto_semi_strategy == "broadcast"
+
+
+def test_auto_join_mixed_key_types_fall_back_and_raise(spark):
+    """ADVICE r2 (medium): the bloom strategy hashes CAST(key AS STRING)
+    on both sides — with probe/dim key types that render differently as
+    strings but compare equal natively (double 25.0 vs int 25), the
+    filter would false-negative and silently drop matching rows. Auto
+    must fall back to an exact strategy; explicit 'bloom' must raise;
+    both-integral keys canonicalize to long and stay bloom-eligible."""
+    from dablooms_spark.operators.bloom_probe import auto_anti_join, auto_semi_join
+
+    probe = spark.range(100).select((F.col("id") / F.lit(2)).alias("k"))  # double
+    dim = spark.range(0, 50, 5).select(F.col("id").cast("int").alias("dk"))  # int
+    expected_semi = {
+        r.k for r in probe.join(
+            dim.select(F.col("dk").cast("double").alias("k")), "k", "left_semi"
+        ).collect()
+    }
+    assert expected_semi  # natively-equal double/int pairs exist
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = auto_semi_join(probe, dim, "k", dim_key="dk")
+        assert out.auto_join_strategy == "shuffle"  # never bloom on unsafe types
+        assert {r.k for r in out.collect()} == expected_semi
+        out = auto_anti_join(probe, dim, "k", dim_key="dk")
+        assert out.auto_join_strategy == "shuffle"
+        assert {r.k for r in out.collect()} == {
+            r.k for r in probe.collect()
+        } - expected_semi
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+    with pytest.raises(ValueError, match="bloom strategy is unsafe"):
+        auto_semi_join(probe, dim, "k", dim_key="dk", strategy="bloom")
+
+    # differing INTEGRAL types are safe: canonicalized to long on both sides
+    probe_i = spark.range(100).select(F.col("id").cast("int").alias("k"))
+    dim_l = spark.range(0, 50, 5).select(F.col("id").alias("dk"))  # long
+    out = auto_semi_join(probe_i, dim_l, "k", dim_key="dk", strategy="bloom")
+    assert {r.k for r in out.collect()} == set(range(0, 50, 5))
+    out = auto_anti_join(probe_i, dim_l, "k", dim_key="dk", strategy="bloom")
+    assert {r.k for r in out.collect()} == set(range(100)) - set(range(0, 50, 5))
+
+
+def test_sharded_probe_null_keys_are_definite_negatives(spark):
+    """ADVICE r2: NULL probe keys must not alias the literal string
+    'None' (which a real key could be) — both probe paths agree."""
+    from dablooms_spark.operators.sharded import (
+        build_sharded_counting_bloom,
+        sharded_bloom_probe,
+    )
+
+    dim = spark.createDataFrame(
+        [("None",), ("alpha",), ("beta",)], "key string"
+    )
+    blobs = build_sharded_counting_bloom(
+        dim, "key", capacity=64, error_rate=0.01, num_shards=4
+    )
+    probe = spark.createDataFrame(
+        [(1, "None"), (2, None), (3, "alpha"), (4, "gamma")], "id int, key string"
+    )
+    got = {
+        r.id: r.is_member
+        for r in sharded_bloom_probe(probe, "key", blobs, num_shards=4, salt=2).collect()
+    }
+    assert got[1] is True  # the real 'None' string key
+    assert got[2] is False  # NULL key: definite negative
+    assert got[3] is True
+
+
+def test_merge_blobs_df_underestimated_num_blobs_still_one_row(spark, docs):
+    """ADVICE r2: num_blobs=1 underestimate must not skip the merge
+    loop and leak a multi-row frame."""
+    from dablooms_spark.operators.bloom_build import (
+        counting_bloom_partials,
+        merge_blobs_df,
+    )
+
+    partials = counting_bloom_partials(
+        docs.repartition(6), "text", capacity=600, error_rate=0.05
+    )
+    merged = merge_blobs_df(partials, num_blobs=1).collect()
+    assert len(merged) == 1
+    filt = CountingBloom.from_bytes(bytes(merged[0].blob))
+    assert filt.count == docs.count()

@@ -42,9 +42,12 @@ _KIND_COUNTING_SPARSE = 2  # u64 nnz + index array + u8 counts
 # (pos u32, gap u32) exceptions + u8 counts — ~2 B/counter vs 5 for
 # kind 2; only used while size fits u32 exception fields
 _KIND_COUNTING_SPARSE_GAPS = 3
-# magic 4s | version u16 | kind u8 | pad u8 | capacity u64 | error f64 |
+# magic 4s | version u16 | kind u8 | flags u8 | capacity u64 | error f64 |
 # nfuncs u32 | pad u32 | counts_per_func u64 | first_id u64 | count u64
+# flags bit 0: on_overflow == 'error' (strict reference-parity mode) —
+# older blobs wrote 0 here, which correctly decodes as 'saturate'
 _HDR = struct.Struct("<4sHBBQdIIQQQ")
+_FLAG_STRICT_OVERFLOW = 0x01
 
 
 class CountingBloom:
@@ -266,6 +269,28 @@ class CountingBloom:
             _count=count,
         )
 
+    def subtract(self, other: "CountingBloom") -> "CountingBloom":
+        """Counter-wise subtraction, clamped at 0 — the blob-algebra
+        form of a batch remove. `other` is a DELETION-COUNT filter
+        (built by adding the deleted keys); subtracting it is exactly
+        equivalent to remove()ing those keys one batch at a time:
+        counters never exceed 15, so max(c - min(d,15), 0) ==
+        max(c - d, 0) for any true multiplicity d. This is what lets a
+        10^10-row deletion stream reduce to per-layer blobs in the
+        cluster instead of 16 B/row on the driver. Mutates self and
+        returns it (mirroring remove_hashed)."""
+        if self.geometry != other.geometry or self.seed != other.seed:
+            raise ValueError(
+                "cannot subtract counting blooms with different geometry"
+            )
+        cur = self.counters.astype(np.int32)
+        cur -= other.counters
+        self._strict_check(cur)
+        np.clip(cur, 0, 15, out=cur)
+        self.counters = cur.astype(np.uint8)
+        self.count -= other.count
+        return self
+
     def merge(self, other: "CountingBloom") -> "CountingBloom":
         """Associative, commutative saturating counter-sum merge.
 
@@ -331,11 +356,12 @@ class CountingBloom:
         if gaps_bytes is not None:
             candidates.append((gaps_bytes, _KIND_COUNTING_SPARSE_GAPS))
         kind = min(candidates)[1]
+        flags = _FLAG_STRICT_OVERFLOW if self.on_overflow == "error" else 0
         header = _HDR.pack(
             _MAGIC,
             _VERSION,
             kind,
-            0,
+            flags,
             g.capacity,
             g.error_rate,
             g.nfuncs,
@@ -369,7 +395,7 @@ class CountingBloom:
             magic,
             version,
             kind,
-            _pad,
+            flags,
             capacity,
             error_rate,
             nfuncs,
@@ -411,6 +437,7 @@ class CountingBloom:
             seed=seed,
             _counters=counters,
             _count=count,
+            on_overflow="error" if flags & _FLAG_STRICT_OVERFLOW else "saturate",
         )
 
     def __repr__(self):

@@ -175,7 +175,33 @@ class ScalingBloom:
     def count(self) -> int:
         return sum(l.count for l in self.layers)
 
-    # ---- merge -----------------------------------------------------------
+    # ---- merge / subtract --------------------------------------------------
+
+    def subtract(self, other: "ScalingBloom") -> "ScalingBloom":
+        """Layer-wise counter subtraction — the blob-algebra form of a
+        batch remove. `other` is a DELETION filter sharing this
+        filter's layer skeleton (same first_id + error_rate per touched
+        layer, as built by operators.bloom_remove's distributed path);
+        each matching layer subtracts counter-wise, clamped at 0 —
+        exactly what remove_hashed would have done row-at-a-time.
+        Mutates self and returns it."""
+        if (self.capacity, self.seed) != (other.capacity, other.seed):
+            raise ValueError("cannot subtract scaling blooms with different config")
+        mine = {
+            (l.first_id, l.geometry.error_rate): l for l in self.layers
+        }
+        for dl in other.layers:
+            if dl.count == 0 and not dl.counters.any():
+                continue
+            tgt = mine.get((dl.first_id, dl.geometry.error_rate))
+            if tgt is None:
+                raise ValueError(
+                    "deletion filter layer (first_id="
+                    f"{dl.first_id}, eps={dl.geometry.error_rate:g}) has no "
+                    "matching layer in the target filter"
+                )
+            tgt.subtract(dl)
+        return self
 
     def merge(self, other: "ScalingBloom") -> "ScalingBloom":
         """Associative layer-wise merge: counter-sum layers that share

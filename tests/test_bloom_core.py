@@ -240,3 +240,24 @@ def test_scaling_historic_ids_route_to_old_layers():
     assert len(sb.layers) == nlayers
     assert sb.layers[0].count == counts_before[0] + 1
     assert sb.check([b"late-arrival"])[0]
+
+
+def test_strict_overflow_mode_survives_serde():
+    """ADVICE r2: on_overflow='error' must round-trip through
+    to_bytes/from_bytes (header flag bit), keeping the reference-parity
+    refusal semantics after a checkpoint/restore."""
+    import pytest
+
+    from dablooms_spark.core.counting_bloom import CountingBloom
+
+    cb = CountingBloom(100, 0.05, on_overflow="error")
+    cb.add([b"k%d" % i for i in range(50)])
+    back = CountingBloom.from_bytes(cb.to_bytes())
+    assert back.on_overflow == "error"
+    assert back.to_bytes() == cb.to_bytes()
+    with pytest.raises(OverflowError):
+        back.remove([b"not-there"])
+    # default mode still round-trips as saturate
+    sat = CountingBloom(100, 0.05)
+    sat.add([b"x"])
+    assert CountingBloom.from_bytes(sat.to_bytes()).on_overflow == "saturate"

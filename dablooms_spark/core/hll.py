@@ -1,9 +1,19 @@
 """HyperLogLog — from-scratch numpy implementation (north_rule
 companion sketch; absent from the reference, which only answers
-membership). Standard HLL (Flajolet et al. 2007) with the small-range
-linear-counting correction; merge = elementwise register max, which is
-associative, commutative, and idempotent — merged registers are
-bit-identical under any merge tree.
+membership). Registers follow Flajolet et al. 2007; merge =
+elementwise register max, which is associative, commutative, and
+idempotent — merged registers are bit-identical under any merge tree.
+
+The ESTIMATOR is Ertl's improved raw estimator (Otmar Ertl, "New
+cardinality estimation algorithms for HyperLogLog sketches",
+arXiv:1702.01284, Alg. 6): a closed-form maximum-likelihood-motivated
+correction that removes the FM07 bias across the whole range —
+including the 2.5m–5m transition band that HyperLogLog++ (Heule et
+al. 2013) patches with ~60 KB of empirical interpolation tables — with
+no tables and no range switching (the σ term subsumes linear counting
+for small n, the τ term handles saturation). Cross-checked in pytest
+against the JVM Datasketches HLL estimates wrapped in
+operators/builtin_sketches.py.
 
 Register assignment uses the same MurmurHash3_x64_128 kernel as the
 bloom filters: index = top p bits of the first 64-bit word, rank =
@@ -12,6 +22,7 @@ bloom filters: index = top p bits of the first 64-bit word, rank =
 
 from __future__ import annotations
 
+import math
 import struct
 
 import numpy as np
@@ -26,14 +37,39 @@ _MAGIC = b"DBHL"
 _HDR = struct.Struct("<4sHBBIQ")  # magic, version, p, pad, pad32, seed
 
 
-def _alpha(m: int) -> float:
-    if m == 16:
-        return 0.673
-    if m == 32:
-        return 0.697
-    if m == 64:
-        return 0.709
-    return 0.7213 / (1.0 + 1.079 / m)
+def _sigma(x: float) -> float:
+    """σ(x) = x + Σ_{k≥1} x^{2^k}·2^{k−1} (Ertl Alg. 6 helper; the
+    small-range / linear-counting term). Converges in ≤ ~60 doublings."""
+    if x == 1.0:
+        return float("inf")
+    y = 1.0
+    z = x
+    while True:
+        x = x * x
+        z_prev = z
+        z += x * y
+        y += y
+        if z == z_prev or x == 0.0:
+            return z
+
+
+def _tau(x: float) -> float:
+    """τ(x) = ⅓(1 − x − Σ_{k≥1} (1−x^{2^−k})²·2^{−k}) (Ertl Alg. 6
+    helper; the register-saturation term)."""
+    if x == 0.0 or x == 1.0:
+        return 0.0
+    y = 1.0
+    z = 1.0 - x
+    while True:
+        x = math.sqrt(x)
+        z_prev = z
+        y *= 0.5
+        z -= (1.0 - x) ** 2 * y
+        if z == z_prev:
+            return z / 3.0
+
+
+_ALPHA_INF = 1.0 / (2.0 * math.log(2.0))
 
 
 class HyperLogLog:
@@ -80,13 +116,19 @@ class HyperLogLog:
     # ---- estimate --------------------------------------------------------
 
     def estimate(self) -> float:
+        """Ertl's improved raw estimator (arXiv:1702.01284 Alg. 6):
+        E = α∞·m² / (m·σ(C₀/m) + Σ_{k=1..q} C_k·2^{−k} + 2^{−q}·m·τ(1−C_{q+1}/m))
+        computed with the Horner loop over the register multiplicity
+        vector C. Relative standard error ≈ 1.04/√m over the whole
+        range, with none of FM07's transition-band bias."""
         m = self.m
-        regs = self.registers.astype(np.float64)
-        raw = _alpha(m) * m * m / np.sum(np.exp2(-regs))
-        zeros = int(np.count_nonzero(self.registers == 0))
-        if raw <= 2.5 * m and zeros:
-            return m * float(np.log(m / zeros))  # linear counting
-        return float(raw)
+        q = 64 - self.p  # stop bit caps ranks at q + 1
+        counts = np.bincount(self.registers, minlength=q + 2)
+        z = m * _tau(1.0 - counts[q + 1] / m)
+        for k in range(q, 0, -1):
+            z = 0.5 * (z + counts[k])
+        z += m * _sigma(counts[0] / m)
+        return _ALPHA_INF * m * m / z
 
     # ---- merge / serde ---------------------------------------------------
 

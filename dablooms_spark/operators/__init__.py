@@ -12,10 +12,11 @@ from dablooms_spark.operators.bloom_probe import (
     auto_semi_join,
     auto_anti_join,
 )
-from dablooms_spark.operators.bloom_remove import bloom_remove
+from dablooms_spark.operators.bloom_remove import bloom_remove, bloom_remove_distributed
 from dablooms_spark.operators.udafs import (
     sketch_udaf,
     merge_sketch_udaf,
+    agg_sketch_by,
     register_sketch_udafs,
 )
 from dablooms_spark.operators.graph import connected_components, dedup_clusters
@@ -78,6 +79,7 @@ __all__ = [
     "auto_anti_join",
     "sketch_udaf",
     "merge_sketch_udaf",
+    "agg_sketch_by",
     "register_sketch_udafs",
     "connected_components",
     "dedup_clusters",
@@ -85,6 +87,7 @@ __all__ = [
     "sharded_bloom_probe",
     "sharded_semi_join",
     "bloom_remove",
+    "bloom_remove_distributed",
     "sketch_agg",
     "grouped_sketch_agg",
     "sketch_rollup",

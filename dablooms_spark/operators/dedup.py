@@ -321,6 +321,7 @@ def minhash_lsh_dedup(
     threshold: float = 0.7,
     seed: int = 42,
     hot_cap: int = 1000,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard) with exact-verified
     Jaccard >= threshold. LSH with b bands of r = num_perms/b rows has
@@ -328,10 +329,19 @@ def minhash_lsh_dedup(
     pairs with p ≈ 0.97+. Buckets larger than hot_cap fall back to
     star pairs vs the min-id representative (see
     _banded_candidate_pairs) — exact pair enumeration within a
-    5M-copy boilerplate bucket is quadratic and never what you want."""
+    5M-copy boilerplate bucket is quadratic and never what you want.
+
+    materialize=True (default) persists + counts the result so the
+    signature cache can be released immediately — right when the pairs
+    are consumed more than once. materialize=False returns the fully
+    LAZY plan (no job runs until the caller acts) for composed
+    pipelines; the signature stage then appears twice in the plan
+    (band keys + verification) instead of being cached."""
     assert num_perms % bands == 0
     r = num_perms // bands
-    sigs = minhash_signatures(df, text_col, id_col, k, num_perms, seed).persist()
+    sigs = minhash_signatures(df, text_col, id_col, k, num_perms, seed)
+    if materialize:
+        sigs = sigs.persist()
 
     # 8-byte band keys: xxhash64 over (band index, signature slice)
     # keeps the candidate self-join narrow (a string band key is ~60
@@ -367,6 +377,8 @@ def minhash_lsh_dedup(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    if not materialize:
+        return verified
     out = verified.persist()
     out.count()
     sigs.unpersist()
@@ -432,14 +444,18 @@ def simhash_dedup(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     hot_cap: int = 1000,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash: candidates share one of four
     16-bit bands (any pair within Hamming distance 3 must agree on at
     least one band — pigeonhole), verified exactly with
     bit_count(a ^ b) <= max_hamming in Catalyst. Buckets larger than
     hot_cap use star pairs vs the min-id representative (see
-    _banded_candidate_pairs)."""
-    fps = simhash_fingerprints(df, text_col, id_col).persist()
+    _banded_candidate_pairs). materialize=False returns the fully lazy
+    plan (see minhash_lsh_dedup for the tradeoff)."""
+    fps = simhash_fingerprints(df, text_col, id_col)
+    if materialize:
+        fps = fps.persist()
     bands = fps.select(
         F.col(id_col),
         F.col("simhash"),
@@ -466,6 +482,8 @@ def simhash_dedup(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+    if not materialize:
+        return pairs
     out = pairs.persist()
     out.count()
     fps.unpersist()

@@ -317,6 +317,7 @@ def frequent_keys(
     min_count: int,
     cms_eps: float = 1e-4,
     cms_delta: float = 0.01,
+    materialize: bool = True,
 ) -> DataFrame:
     """EXACT distributed heavy hitters: all keys with count >= min_count.
 
@@ -329,6 +330,11 @@ def frequent_keys(
          dropping candidates with CMS estimate < T is safe and cheap;
       3. exact recount of the surviving (small) candidate set via a
          broadcast semi join + groupBy.
+
+    materialize=False skips the final persist+count and returns a lazy
+    result (composable); the CMS stage still runs eagerly (its blob
+    must exist to broadcast), and the input is scanned once more per
+    downstream action instead of being cached.
     """
     spark = df.sparkSession
     sdf = df.select(F.col(key_col).cast("string").alias("k")).filter(
@@ -350,21 +356,30 @@ def frequent_keys(
             .withColumnRenamed("k", key_col)
         )
 
-    sdf = sdf.persist()
+    if materialize:
+        sdf = sdf.persist()
 
     def local_candidates(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        acc: dict = {}
+        # Arrow-native fold: per-batch value_counts tables concatenated
+        # and group-summed ONCE at the end — no per-distinct-key Python
+        # objects, so the stage's cost tracks Arrow buffer sizes, not
+        # Python object count (this was the last per-element Python
+        # loop in a hot path).
+        parts = []
         for batch in batches:
             vc = pa.compute.value_counts(batch.column(0))
-            ks = vc.field("values").to_pylist()
-            cs = vc.field("counts").to_numpy(zero_copy_only=False)
-            for kk, cc in zip(ks, cs):
-                acc[kk] = acc.get(kk, 0) + int(cc)
-        cands = [k for k, c in acc.items() if c >= local_threshold]
-        if cands:
-            yield pa.RecordBatch.from_pydict(
-                {"k": cands}, schema=pa.schema([("k", pa.large_string())])
+            parts.append(
+                pa.table({"k": vc.field("values"), "c": vc.field("counts")})
             )
+        if not parts:
+            return
+        agg = pa.concat_tables(parts).group_by("k").aggregate([("c", "sum")])
+        mask = pa.compute.greater_equal(
+            agg.column("c_sum"), pa.scalar(local_threshold, pa.int64())
+        )
+        cands = agg.column("k").filter(mask).combine_chunks().cast(pa.large_string())
+        if len(cands):
+            yield pa.RecordBatch.from_arrays([cands], names=["k"])
 
     candidates = sdf.mapInArrow(local_candidates, schema="k string").distinct()
 
@@ -396,6 +411,8 @@ def frequent_keys(
         .filter(F.col("cnt") >= min_count)
         .withColumnRenamed("k", key_col)
     )
+    if not materialize:
+        return out
     result = out.persist()
     result.count()
     sdf.unpersist()

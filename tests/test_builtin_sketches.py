@@ -39,7 +39,12 @@ def test_builtin_hll_vs_exact_and_numpy(spark, events):
     }
     for k, v in exact.items():
         assert abs(builtin[k] - v) / max(v, 1) < 0.05
-        assert abs(numpy_est[k] - v) / max(v, 1) < 0.05
+        # Ertl-estimator bound, tighter than the JVM sketch's (the
+        # cross-check VERDICT r2 item 7 asked for: our from-scratch
+        # estimate must track both exact truth and the Datasketches
+        # estimate)
+        assert abs(numpy_est[k] - v) / max(v, 1) < 0.03
+        assert abs(numpy_est[k] - builtin[k]) / max(builtin[k], 1) < 0.06
 
 
 def test_builtin_hll_blob_union(spark, events):

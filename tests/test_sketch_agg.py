@@ -303,3 +303,39 @@ def test_theta_kmv_distributed_set_algebra(spark, events):
     assert abs(a.estimate() - len(ca)) / max(len(ca), 1) < 0.1
     both = len(ca & vb)
     assert abs(a.intersect_estimate(b) - both) / max(both, 1) < 0.2
+
+
+def test_agg_sketch_by_auto_routes_and_warns(spark, events):
+    """VERDICT r2 item 6: the UDAF surface gets a size guard — small
+    inputs take the ergonomic grouped-agg UDAF; inputs over the byte
+    budget WARN and reroute to grouped_sketch_agg (blob-only shuffle).
+    Both engines produce bit-identical HLL blobs (register-max is
+    merge-order invariant)."""
+    import warnings as _w
+
+    import pytest
+
+    from dablooms_spark.operators.udafs import agg_sketch_by
+
+    # small input: auto -> udaf path, no warning
+    with _w.catch_warnings():
+        _w.simplefilter("error")  # any warning would raise
+        small = agg_sketch_by(events, "event_type", "user_id", "hll", p=12)
+    plan = small._jdf.queryExecution().executedPlan().toString()
+    assert "AggregateInPandas" in plan or "AggregatePython" in plan
+
+    # zero budget: auto -> warn + reroute to partials
+    with pytest.warns(UserWarning, match="rerouting to grouped_sketch_agg"):
+        routed = agg_sketch_by(
+            events, "event_type", "user_id", "hll", udaf_bytes_limit=0, p=12
+        )
+    got_small = {r.event_type: bytes(r.blob) for r in small.collect()}
+    got_routed = {r.event_type: bytes(r.blob) for r in routed.collect()}
+    assert got_small == got_routed
+
+    # explicit engines agree too
+    udaf = agg_sketch_by(events, "event_type", "user_id", "hll", engine="udaf", p=12)
+    part = agg_sketch_by(events, "event_type", "user_id", "hll", engine="partial", p=12)
+    assert {r.event_type: bytes(r.blob) for r in udaf.collect()} == {
+        r.event_type: bytes(r.blob) for r in part.collect()
+    }

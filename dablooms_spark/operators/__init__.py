@@ -4,6 +4,8 @@ from dablooms_spark.operators.bloom_build import (
     counting_bloom_partials,
     scaling_bloom_partials,
     merge_blobs_df,
+    scaling_layers_df,
+    restore_scaling_bloom_layers,
 )
 from dablooms_spark.operators.bloom_probe import (
     bloom_probe_column,
@@ -72,6 +74,8 @@ __all__ = [
     "counting_bloom_partials",
     "scaling_bloom_partials",
     "merge_blobs_df",
+    "scaling_layers_df",
+    "restore_scaling_bloom_layers",
     "bloom_probe_column",
     "bloom_semi_join",
     "bloom_anti_join",

@@ -444,6 +444,136 @@ def merge_blobs_df(
     return df
 
 
+_LAYER_SCHEMA = (
+    "first_id long, layer_eps double, capacity long, max_id long, "
+    "sb_eps double, blob binary, n long"
+)
+
+
+def scaling_layers_df(blob_df: DataFrame, seed: int = DABLOOMS_SEED) -> DataFrame:
+    """Merge a (shard, blob, n) DataFrame of scaling-bloom partials
+    into the filter's canonical LAYER-ROW form — one row per
+    (first_id, layer_eps) layer — entirely in parallel.
+
+    This is the merge+checkpoint shape that scales: a scaling filter
+    over 10^12 rows is tens of GB, so the one-blob artifact
+    (merge_blobs_df) funnels every byte through a single final task,
+    while layers are the filter's natural parallel unit — id-disjoint
+    shards NEVER share (first_id, eps), so the merge is a pure
+    repartition (colliding layers, e.g. from a resumed build over the
+    same id range, counter-sum in their own group) and the write
+    spreads one task per layer. Restore with
+    restore_scaling_bloom_layers; equality with the one-blob path is
+    property-tested bit-identically.
+    """
+    def explode_layers(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import struct as _struct
+
+        for batch in batches:
+            fids, epss, caps, mids, sbes, blobs, ns = [], [], [], [], [], [], []
+            for blob in batch.column(1):
+                blob = blob.as_py()
+                magic, _ver, _pad, capacity, sb_eps, max_id, nlayers, _p2 = (
+                    _struct.unpack_from("<4sHHQdQII", blob, 0)
+                )
+                if magic != b"DBSC":
+                    raise ValueError("scaling_layers_df expects scaling-bloom blobs")
+                off = _struct.calcsize("<4sHHQdQII")
+                for _ in range(nlayers):
+                    (ln,) = _struct.unpack_from("<Q", blob, off)
+                    off += 8
+                    rec = blob[off : off + ln]
+                    off += ln
+                    # counting-bloom header: error_rate f64 at byte 16,
+                    # first_id u64 at 40, count u64 at 48
+                    (l_eps,) = _struct.unpack_from("<d", rec, 16)
+                    (l_fid,) = _struct.unpack_from("<Q", rec, 40)
+                    (l_cnt,) = _struct.unpack_from("<Q", rec, 48)
+                    fids.append(l_fid)
+                    epss.append(l_eps)
+                    caps.append(capacity)
+                    mids.append(max_id)
+                    sbes.append(sb_eps)
+                    blobs.append(rec)
+                    ns.append(l_cnt)
+            if fids:
+                yield pa.RecordBatch.from_pydict(
+                    {
+                        "first_id": fids,
+                        "layer_eps": epss,
+                        "capacity": caps,
+                        "max_id": mids,
+                        "sb_eps": sbes,
+                        "blob": blobs,
+                        "n": ns,
+                    },
+                    schema=pa.schema(
+                        [
+                            ("first_id", pa.int64()),
+                            ("layer_eps", pa.float64()),
+                            ("capacity", pa.int64()),
+                            ("max_id", pa.int64()),
+                            ("sb_eps", pa.float64()),
+                            ("blob", pa.large_binary()),
+                            ("n", pa.int64()),
+                        ]
+                    ),
+                )
+
+    layers = blob_df.mapInArrow(explode_layers, schema=_LAYER_SCHEMA)
+
+    def merge_layer_group(pdf):
+        import pandas as pd
+
+        if len(pdf) > 1:
+            merged = CountingBloom.merge_blobs([bytes(b) for b in pdf.blob], seed=seed)
+            blob, n = merged.to_bytes(), merged.count
+        else:
+            blob, n = bytes(pdf.blob.iloc[0]), int(pdf.n.iloc[0])
+        return pd.DataFrame(
+            {
+                "first_id": [int(pdf.first_id.iloc[0])],
+                "layer_eps": [float(pdf.layer_eps.iloc[0])],
+                "capacity": [int(pdf.capacity.iloc[0])],
+                "max_id": [int(pdf.max_id.max())],
+                "sb_eps": [float(pdf.sb_eps.min())],
+                "blob": [blob],
+                "n": [n],
+            }
+        )
+
+    return layers.groupBy("first_id", "layer_eps").applyInPandas(
+        merge_layer_group, schema=_LAYER_SCHEMA
+    )
+
+
+def restore_scaling_bloom_layers(
+    spark, path: str, seed: int = DABLOOMS_SEED
+) -> ScalingBloom:
+    """Reassemble a ScalingBloom from a parquet of layer rows written
+    by scaling_layers_df (canonical order: first_id asc, eps desc —
+    matching ScalingBloom.merge). The single-row artifact this replaces
+    is the anti-pattern at scale; restore is the only step that
+    deserializes whole layers, and a probe-side variant can just as
+    well keep the layers AS a DataFrame (see operators/sharded.py for
+    the filter-as-DataFrame probe topology)."""
+    rows = (
+        spark.read.parquet(path)
+        .orderBy(F.col("first_id").asc(), F.col("layer_eps").desc())
+        .collect()
+    )
+    if not rows:
+        raise ValueError(f"no layer rows at {path}")
+    layers = [CountingBloom.from_bytes(bytes(r.blob), seed=seed) for r in rows]
+    return ScalingBloom(
+        int(rows[0].capacity),
+        float(min(r.sb_eps for r in rows)),
+        seed=seed,
+        layers=layers,
+        max_id=int(max(r.max_id for r in rows)),
+    )
+
+
 def build_scaling_bloom(
     df: DataFrame,
     key_col: str,

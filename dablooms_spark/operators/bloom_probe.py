@@ -33,20 +33,25 @@ from dablooms_spark.functions.murmur import DABLOOMS_SEED, dablooms_hash_words_b
 # Keyed by the blob OBJECT's identity (the broadcast value is one
 # long-lived object per worker); the entry holds the blob so the id
 # stays valid. Content hashing would risk collisions between filters
-# sharing a prefix/suffix.
-_FILTER_CACHE: dict[int, tuple[object, object]] = {}
+# sharing a prefix/suffix. True LRU (evict oldest, not clear-all) so a
+# many-filter job degrades gracefully instead of thrashing.
+from collections import OrderedDict  # noqa: E402
+
+_FILTER_CACHE: "OrderedDict[int, tuple[object, object]]" = OrderedDict()
+_FILTER_CACHE_MAX = 8
 
 
 def _get_filter(blob: bytes, seed: int):
     key = id(blob)
     hit = _FILTER_CACHE.get(key)
     if hit is not None:
+        _FILTER_CACHE.move_to_end(key)
         return hit[1]
     from dablooms_spark.operators.bloom_build import _loads
 
     filt = _loads(blob, seed)
-    if len(_FILTER_CACHE) > 8:
-        _FILTER_CACHE.clear()
+    while len(_FILTER_CACHE) >= _FILTER_CACHE_MAX:
+        _FILTER_CACHE.popitem(last=False)
     _FILTER_CACHE[key] = (blob, filt)
     return filt
 

@@ -369,3 +369,41 @@ def test_merge_blobs_df_underestimated_num_blobs_still_one_row(spark, docs):
     assert len(merged) == 1
     filt = CountingBloom.from_bytes(bytes(merged[0].blob))
     assert filt.count == docs.count()
+
+
+def test_scaling_layer_rows_checkpoint_equals_one_blob(spark, sf_dir, tmp_path):
+    """The layer-row merge+checkpoint (parallel write, no single fat
+    task) restores to a filter BIT-IDENTICAL to the one-blob
+    merge_blobs_df path — the at-scale artifact shape."""
+    from dablooms_spark.core.serde import loads
+    from dablooms_spark.operators.bloom_build import (
+        merge_blobs_df,
+        restore_scaling_bloom_layers,
+        scaling_bloom_partials,
+        scaling_layers_df,
+    )
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "key", F.col("event_id").cast("string")
+    )
+    partials = scaling_bloom_partials(
+        events, "key", "event_id", capacity=300, error_rate=0.05, num_shards=4
+    ).persist()
+
+    one = loads(bytes(merge_blobs_df(partials, num_blobs=4).first().blob))
+
+    path = str(tmp_path / "layers")
+    layers = scaling_layers_df(partials)
+    layers.write.parquet(path)
+    restored = restore_scaling_bloom_layers(spark, path)
+    partials.unpersist()
+
+    assert restored.to_bytes() == one.to_bytes()
+    assert restored.count == one.count
+    # the artifact is genuinely parallel: one row per layer, all disjoint
+    import collections
+
+    rows = spark.read.parquet(path).collect()
+    keys = [(r.first_id, r.layer_eps) for r in rows]
+    assert len(keys) == len(set(keys))
+    assert len(rows) == len(one.layers)

@@ -86,9 +86,11 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> dict:
 
     def q_scaling_bloom_webpages():
         wp = synth_webpages(spark, n_rows=200_000, partitions=cpus * 2)
+        # dense insertion-sequence ids -> fixed layer boundaries: the
+        # no-row-shuffle build (scaling_bloom_fixed_partials)
         filt = build_scaling_bloom(
             wp, "url", "row_id", capacity=50_000, error_rate=0.01,
-            num_shards=cpus * 2,
+            id_layout="dense",
         )
         fn = bloom_probe_column(
             wp.select("url"), "url", filt

@@ -3,6 +3,7 @@ from dablooms_spark.operators.bloom_build import (
     build_scaling_bloom,
     counting_bloom_partials,
     scaling_bloom_partials,
+    scaling_bloom_fixed_partials,
     merge_blobs_df,
     scaling_layers_df,
     restore_scaling_bloom_layers,
@@ -74,6 +75,7 @@ __all__ = [
     "counting_bloom_partials",
     "scaling_bloom_partials",
     "merge_blobs_df",
+    "scaling_bloom_fixed_partials",
     "scaling_layers_df",
     "restore_scaling_bloom_layers",
     "bloom_probe_column",

@@ -450,6 +450,154 @@ _LAYER_SCHEMA = (
 )
 
 
+def scaling_bloom_fixed_partials(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    capacity: int,
+    error_rate: float,
+    seed: int = DABLOOMS_SEED,
+) -> DataFrame:
+    """Scaling-bloom build with FIXED id-value layer boundaries — the
+    no-shuffle topology for dense insertion-sequence ids (the
+    reference's own id model: monotone unique integers,
+    scaling_bloom_add src/dablooms.c:≈487).
+
+    Layer k owns ids [k·(capacity−1), (k+1)·(capacity−1)); since ids
+    are UNIQUE integers, a width-(capacity−1) range can never hold more
+    than capacity−1 elements, so each layer keeps the reference's
+    per-layer load bound and ε·0.5^(k+1) tightening by construction —
+    the compound FP stays ≤ ε with NO ε/S budget split (layers are
+    global, not per-shard). Because the layer set is a deterministic
+    function of id alone, every input partition builds partials of the
+    SAME layers and the merge is a pure counter-sum:
+
+      stage 1 (mapInArrow, no row movement): hash keys zero-copy,
+          route rows by id//(capacity−1), emit one gap-coded sparse
+          index piece per (partition, touched layer);
+      stage 2 (the only shuffle — pieces, never rows): groupBy(layer)
+          scatter-adds pieces and emits the layer-row form
+          (_LAYER_SCHEMA, restore with restore_scaling_bloom_layers).
+
+    vs scaling_bloom_partials (the arrival-order state machine): that
+    path must range-shuffle every row (16 B/row — 16 TB at 10^12 rows)
+    plus sort within shards; this one moves only sparse counter
+    pieces. Use the range path when ids are sparse (e.g. raw
+    timestamps — fixed boundaries would mint one layer per
+    capacity-sized id gap); use this one whenever ids are dense row
+    numbers, which the build can always arrange
+    (monotonically-increasing row ids are the reference's model).
+    The result is partition-order invariant (counter-sum merge) but
+    not bit-identical to the sequential grow-at-count machine — the
+    same documented deviation class as the per-shard ε budget.
+    """
+    from dablooms_spark.core.codec import delta_decode, delta_encode
+
+    width = max(capacity - 1, 1)
+    geom_cache: dict[int, BloomGeometry] = {}
+
+    # Per-layer error budget: the reference's geometric ε·0.5^(k+1)
+    # assumes few layers (it grows only on overflow); with fixed
+    # boundaries a long id stream means many layers, and geometric
+    # tightening would grow nfuncs LINEARLY in k (layer 80 would carry
+    # 89 hash functions). The polynomial schedule ε·(6/π²)/(k+1)² keeps
+    # the same published guarantee — Σ_k ε_k = ε·(6/π²)·Σ 1/(k+1)² ≤ ε
+    # — with nfuncs growing only logarithmically (documented deviation,
+    # same class as the range path's per-shard ε/S budget).
+    _POLY = 6.0 / (np.pi ** 2)
+
+    def layer_geom(k: int) -> BloomGeometry:
+        g = geom_cache.get(k)
+        if g is None:
+            g = BloomGeometry(capacity, error_rate * _POLY / (k + 1) ** 2)
+            geom_cache[k] = g
+        return g
+
+    sdf = df.select(
+        F.col(key_col).alias("key"), F.col(id_col).cast("long").alias("id")
+    ).filter(F.col("key").isNotNull() & F.col("id").isNotNull())
+
+    def piece_stage(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        idx_parts: dict[int, list[np.ndarray]] = {}
+        counts: dict[int, int] = {}
+        maxid: dict[int, int] = {}
+        for batch in batches:
+            ids = batch.column(1).to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(ids) == 0:
+                continue
+            buf, offs, lens = arrow_byte_view(batch.column(0))
+            h1, h2 = dablooms_hash_words_buffer(buf, offs, lens, seed)
+            tgt = ids // width
+            for li in np.unique(tgt):
+                li = int(li)
+                m = tgt == li
+                g = layer_geom(li)
+                idx_parts.setdefault(li, []).append(
+                    km_expand(h1[m], h2[m], g.nfuncs, g.counts_per_func).ravel()
+                )
+                counts[li] = counts.get(li, 0) + int(m.sum())
+                maxid[li] = max(maxid.get(li, 0), int(ids[m].max()))
+        if not idx_parts:
+            return
+        layers, gaps_b, exc_b, val_b, ns, mx = [], [], [], [], [], []
+        for li in sorted(idx_parts):
+            nz, cnts = np.unique(np.concatenate(idx_parts[li]), return_counts=True)
+            gaps, exc = delta_encode(nz.astype(np.int64))
+            layers.append(li)
+            gaps_b.append(gaps)
+            exc_b.append(exc)
+            val_b.append(np.minimum(cnts, 15).astype(np.uint8).tobytes())
+            ns.append(counts[li])
+            mx.append(maxid[li])
+        yield pa.RecordBatch.from_pydict(
+            {"layer": layers, "idx": gaps_b, "exc": exc_b, "vals": val_b,
+             "n": ns, "max_id": mx},
+            schema=pa.schema(
+                [
+                    ("layer", pa.int64()),
+                    ("idx", pa.large_binary()),
+                    ("exc", pa.large_binary()),
+                    ("vals", pa.large_binary()),
+                    ("n", pa.int64()),
+                    ("max_id", pa.int64()),
+                ]
+            ),
+        )
+
+    pieces = sdf.mapInArrow(
+        piece_stage,
+        schema="layer long, idx binary, exc binary, vals binary, n long, max_id long",
+    )
+
+    def merge_layer(pdf):
+        import pandas as pd
+
+        li = int(pdf.layer.iloc[0])
+        g = layer_geom(li)
+        acc = np.zeros(g.size, dtype=np.int32)
+        for gap_bytes, exc_bytes, val_bytes in zip(pdf.idx, pdf.exc, pdf.vals):
+            idx = delta_decode(gap_bytes, exc_bytes)
+            np.add.at(acc, idx, np.frombuffer(val_bytes, dtype=np.uint8).astype(np.int32))
+        np.clip(acc, 0, 15, out=acc)
+        cb = CountingBloom(
+            capacity, g.error_rate, first_id=li * width, seed=seed,
+            _counters=acc.astype(np.uint8), _count=int(pdf.n.sum()),
+        )
+        return pd.DataFrame(
+            {
+                "first_id": [li * width],
+                "layer_eps": [g.error_rate],
+                "capacity": [capacity],
+                "max_id": [int(pdf.max_id.max())],
+                "sb_eps": [error_rate],
+                "blob": [cb.to_bytes()],
+                "n": [cb.count],
+            }
+        )
+
+    return pieces.groupBy("layer").applyInPandas(merge_layer, schema=_LAYER_SCHEMA)
+
+
 def scaling_layers_df(blob_df: DataFrame, seed: int = DABLOOMS_SEED) -> DataFrame:
     """Merge a (shard, blob, n) DataFrame of scaling-bloom partials
     into the filter's canonical LAYER-ROW form — one row per
@@ -547,23 +695,13 @@ def scaling_layers_df(blob_df: DataFrame, seed: int = DABLOOMS_SEED) -> DataFram
     )
 
 
-def restore_scaling_bloom_layers(
-    spark, path: str, seed: int = DABLOOMS_SEED
-) -> ScalingBloom:
-    """Reassemble a ScalingBloom from a parquet of layer rows written
-    by scaling_layers_df (canonical order: first_id asc, eps desc —
-    matching ScalingBloom.merge). The single-row artifact this replaces
-    is the anti-pattern at scale; restore is the only step that
-    deserializes whole layers, and a probe-side variant can just as
-    well keep the layers AS a DataFrame (see operators/sharded.py for
-    the filter-as-DataFrame probe topology)."""
-    rows = (
-        spark.read.parquet(path)
-        .orderBy(F.col("first_id").asc(), F.col("layer_eps").desc())
-        .collect()
-    )
+def assemble_scaling_bloom(rows, seed: int = DABLOOMS_SEED) -> ScalingBloom:
+    """Driver-side ScalingBloom from collected layer rows
+    (_LAYER_SCHEMA; canonical order first_id asc, eps desc — matching
+    ScalingBloom.merge)."""
+    rows = sorted(rows, key=lambda r: (r.first_id, -r.layer_eps))
     if not rows:
-        raise ValueError(f"no layer rows at {path}")
+        raise ValueError("no layer rows")
     layers = [CountingBloom.from_bytes(bytes(r.blob), seed=seed) for r in rows]
     return ScalingBloom(
         int(rows[0].capacity),
@@ -572,6 +710,22 @@ def restore_scaling_bloom_layers(
         layers=layers,
         max_id=int(max(r.max_id for r in rows)),
     )
+
+
+def restore_scaling_bloom_layers(
+    spark, path: str, seed: int = DABLOOMS_SEED
+) -> ScalingBloom:
+    """Reassemble a ScalingBloom from a parquet of layer rows written
+    by scaling_layers_df / scaling_bloom_fixed_partials. The
+    single-row artifact this replaces is the anti-pattern at scale;
+    restore is the only step that deserializes whole layers, and a
+    probe-side variant can just as well keep the layers AS a DataFrame
+    (see operators/sharded.py for the filter-as-DataFrame probe
+    topology)."""
+    rows = spark.read.parquet(path).collect()
+    if not rows:
+        raise ValueError(f"no layer rows at {path}")
+    return assemble_scaling_bloom(rows, seed)
 
 
 def build_scaling_bloom(
@@ -583,11 +737,26 @@ def build_scaling_bloom(
     seed: int = DABLOOMS_SEED,
     num_shards: int | None = None,
     merge_fanin: int = 8,
+    id_layout: str = "range",
 ) -> ScalingBloom:
     """Build a scaling counting bloom, distributed, returning the
-    merged driver-side filter (see scaling_bloom_partials for the
-    sharding/εbudget design; use partials + merge_blobs_df + a
-    checkpoint write when the filter is too big to collect)."""
+    merged driver-side filter.
+
+    id_layout='range' (default): arrival-order layer state machine over
+    id-range shards (see scaling_bloom_partials — works for any
+    monotone ids, e.g. timestamps, at the cost of a 16 B/row range
+    shuffle + sort). id_layout='dense': fixed id-value layer boundaries
+    (scaling_bloom_fixed_partials — no row shuffle at all; requires
+    unique integer ids, best when they're dense row numbers). Use
+    partials + a layer-row checkpoint write when the filter is too big
+    to collect."""
+    if id_layout == "dense":
+        rows = scaling_bloom_fixed_partials(
+            df, key_col, id_col, capacity, error_rate, seed
+        ).collect()
+        if not rows:
+            return ScalingBloom(capacity, error_rate, seed=seed)
+        return assemble_scaling_bloom(rows, seed)
     blob_df = scaling_bloom_partials(
         df, key_col, id_col, capacity, error_rate, seed, num_shards
     )

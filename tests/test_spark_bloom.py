@@ -407,3 +407,49 @@ def test_scaling_layer_rows_checkpoint_equals_one_blob(spark, sf_dir, tmp_path):
     keys = [(r.first_id, r.layer_eps) for r in rows]
     assert len(keys) == len(set(keys))
     assert len(rows) == len(one.layers)
+
+
+def test_scaling_fixed_partials_no_shuffle_build(spark, tmp_path):
+    """Fixed id-boundary scaling build (no row shuffle): unique integer
+    ids in a width-(capacity-1) range can't exceed capacity-1 elements,
+    so the per-layer bound and compound FP <= eps hold by construction;
+    the layer set is a deterministic function of id, so the build is
+    partition-order INVARIANT (bit-identical across repartitionings)."""
+    from dablooms_spark.operators.bloom_build import (
+        restore_scaling_bloom_layers,
+        scaling_bloom_fixed_partials,
+    )
+
+    df = spark.range(16_000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("key"), F.col("id")
+    )
+    path = str(tmp_path / "fixed_layers")
+    scaling_bloom_fixed_partials(
+        df.repartition(8), "key", "id", capacity=2_000, error_rate=0.05
+    ).write.parquet(path)
+    filt = restore_scaling_bloom_layers(spark, path)
+    assert filt.count == 16_000
+    assert filt.max_id == 15_999
+    assert len(filt.layers) == 16_000 // 1_999 + 1
+    # per-layer load bound: unique ids in width-1999 ranges
+    assert all(l.count <= 1_999 for l in filt.layers)
+    # no false negatives, ever
+    keys = [f"k{i}".encode() for i in range(16_000)]
+    assert filt.check(keys).all()
+    # compound FP bounded by eps
+    absent = [f"zz{i}".encode() for i in range(10_000)]
+    assert filt.check(absent).mean() <= 0.05 * 1.2
+    # partition-order invariance: a different partitioning gives
+    # bit-identical layer blobs
+    path2 = str(tmp_path / "fixed_layers2")
+    scaling_bloom_fixed_partials(
+        df.repartition(3), "key", "id", capacity=2_000, error_rate=0.05
+    ).write.parquet(path2)
+    a = {r.first_id: bytes(r.blob) for r in spark.read.parquet(path).collect()}
+    b = {r.first_id: bytes(r.blob) for r in spark.read.parquet(path2).collect()}
+    assert a == b
+    # probe path compatibility
+    from dablooms_spark.operators import bloom_probe_column
+
+    probed = bloom_probe_column(df.select(F.col("key")), "key", filt)
+    assert probed.filter("NOT is_member").count() == 0

@@ -86,7 +86,10 @@ def main():
             eff[job] = round((thr_m / thr_n) / (m / n), 3)
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    md = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # single-run report goes to lastrun.md; BENCH/BASELINE.md is the
+    # CURATED evidence (min per level across runs) and is maintained by
+    # hand — a lone noisy run must not clobber the accumulated record
+    md = os.path.join(REPO, "BENCH", "lastrun.md")
     with open(md, "w") as fh:
         fh.write(
             f"""# BENCH/BASELINE — measured throughput & scaling efficiency

@@ -85,6 +85,7 @@ def main():
     from dablooms_spark.operators.bloom_build import (
         merge_blobs_df,
         restore_scaling_bloom_layers,
+        scaling_bloom_fixed_partials,
         scaling_bloom_partials,
         scaling_layers_df,
     )
@@ -107,16 +108,28 @@ def main():
         # parallel per-layer groupBy and the write spreads one task
         # per layer — no single task ever funnels the whole filter
         # (set SCALING_ONE_BLOB=1 to bench the old single-row artifact)
+        # Default: fixed id-boundary build (row_id is a dense insertion
+        # sequence — the reference's id model): hash + route in ONE
+        # map stage over the scan, then a blob-only piece shuffle into
+        # layer rows — no row shuffle, no sort, no min/max pass.
+        # SCALING_RANGE=1 benches the arrival-order state machine
+        # (range shuffle + sort); SCALING_ONE_BLOB=1 adds the legacy
+        # single-row artifact on top of it.
         out_dir = f"{ckpt_root}/scaling-{trial}"
         t0 = time.perf_counter()
-        partials = scaling_bloom_partials(
-            wp, "text", "row_id", capacity=200_000, error_rate=0.01,
-            num_shards=partitions,
-        )
-        if os.environ.get("SCALING_ONE_BLOB"):
-            merged = merge_blobs_df(partials, num_blobs=partitions)
+        if os.environ.get("SCALING_RANGE") or os.environ.get("SCALING_ONE_BLOB"):
+            partials = scaling_bloom_partials(
+                wp, "text", "row_id", capacity=200_000, error_rate=0.01,
+                num_shards=partitions,
+            )
+            if os.environ.get("SCALING_ONE_BLOB"):
+                merged = merge_blobs_df(partials, num_blobs=partitions)
+            else:
+                merged = scaling_layers_df(partials)
         else:
-            merged = scaling_layers_df(partials)
+            merged = scaling_bloom_fixed_partials(
+                wp, "text", "row_id", capacity=200_000, error_rate=0.01
+            )
         merged.write.mode("overwrite").parquet(out_dir)
         t_scaling.append(time.perf_counter() - t0)
         n_check = spark.read.parquet(out_dir).agg(F.sum("n")).first()[0]
@@ -136,7 +149,8 @@ def main():
     # 16B/row shuffle) vs blob merge + artifact write (the serial-ish
     # tail that caps Amdahl scaling)?
     item = {}
-    if "scaling" in jobs and os.environ.get("SCALING_ITEMIZE"):
+    if ("scaling" in jobs and os.environ.get("SCALING_ITEMIZE")
+            and (os.environ.get("SCALING_RANGE") or os.environ.get("SCALING_ONE_BLOB"))):
         item_dir = f"{ckpt_root}/scaling-itemized"
         t0 = time.perf_counter()
         partials = scaling_bloom_partials(

@@ -145,6 +145,30 @@ def _q_scaling_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_scaling_dense_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same membership semantics through the NO-SHUFFLE
+    fixed-boundary build (scaling_bloom_fixed_partials via
+    id_layout='dense'): layers assigned by id value, partials
+    counter-summed per layer, zero row movement. Exact verification
+    keeps the result deterministic, so the oracle is identical to the
+    range-path query's."""
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "key", F.concat_ws(":", "user_id", "event_type")
+    )
+    n = events.count()
+    first_half = events.filter(F.col("event_id") < n // 2)
+    second_half = events.filter(F.col("event_id") >= n // 2)
+    filt = build_scaling_bloom(
+        first_half, "key", "event_id", capacity=1000, error_rate=0.02,
+        id_layout="dense",
+    )
+    dim = first_half.select(F.col("key").alias("seen_key")).distinct()
+    return (
+        bloom_semi_join(second_half, "key", filt, exact_df=dim, exact_key="seen_key")
+        .select("event_id", "user_id", "event_type")
+    )
+
+
 def _q_dedup_clusters_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components (iterative min-label propagation, the
     pairs->clusters dedup step). Deterministic 7-doc chain graph over
@@ -646,6 +670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_distinct_stream": _q_windowed_distinct_stream,
         "bloom_anti_join_lineitem": _q_bloom_anti_join_lineitem,
         "scaling_bloom_membership": _q_scaling_bloom_membership,
+        "scaling_dense_membership": _q_scaling_dense_membership,
         "frequent_users_events": _q_frequent_users,
         "distinct_users_by_type": _q_distinct_users_by_type,
         "hll_distinct_by_type": _q_hll_distinct_by_type,
@@ -781,6 +806,17 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
         "scaling_bloom_membership": """
+            WITH n AS (SELECT count(*) AS c FROM events),
+            firsth AS (
+                SELECT DISTINCT user_id || ':' || event_type AS seen_key
+                FROM events, n WHERE event_id < n.c // 2
+            )
+            SELECT event_id, user_id, event_type
+            FROM events, n
+            WHERE event_id >= n.c // 2
+              AND (user_id || ':' || event_type) IN (SELECT seen_key FROM firsth)
+        """,
+        "scaling_dense_membership": """
             WITH n AS (SELECT count(*) AS c FROM events),
             firsth AS (
                 SELECT DISTINCT user_id || ':' || event_type AS seen_key

@@ -453,3 +453,58 @@ def test_scaling_fixed_partials_no_shuffle_build(spark, tmp_path):
 
     probed = bloom_probe_column(df.select(F.col("key")), "key", filt)
     assert probed.filter("NOT is_member").count() == 0
+
+
+def test_scaling_layers_df_colliding_layers_counter_sum(spark, sf_dir):
+    """A resumed build over the SAME id range produces colliding
+    (first_id, eps) layers; scaling_layers_df must counter-sum them
+    (merge_layer_group's len>1 branch), equal to merging the blobs."""
+    from dablooms_spark.core.serde import loads
+    from dablooms_spark.operators.bloom_build import (
+        merge_blobs_df,
+        scaling_bloom_partials,
+        scaling_layers_df,
+    )
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "key", F.col("event_id").cast("string")
+    )
+    partials = scaling_bloom_partials(
+        events, "key", "event_id", capacity=300, error_rate=0.05, num_shards=4
+    ).persist()
+    doubled = partials.unionByName(partials)  # same layers twice
+    rows = scaling_layers_df(doubled).collect()
+    one = loads(bytes(merge_blobs_df(doubled, num_blobs=8).first().blob))
+    partials.unpersist()
+    assert sum(r.n for r in rows) == one.count
+    by_key = {(r.first_id, r.layer_eps): bytes(r.blob) for r in rows}
+    assert len(by_key) == len(rows)  # collisions merged, keys unique
+    for layer in one.layers:
+        got = by_key[(layer.first_id, layer.geometry.error_rate)]
+        assert got == layer.to_bytes()
+
+
+def test_distributed_remove_on_dense_built_filter(spark):
+    """bloom_remove_distributed routes by the target's layer skeleton,
+    so it must work identically on a fixed-boundary (dense) filter."""
+    import copy
+
+    from dablooms_spark.operators import build_scaling_bloom
+    from dablooms_spark.operators.bloom_remove import (
+        bloom_remove,
+        bloom_remove_distributed,
+    )
+
+    df = spark.range(6000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("key"), F.col("id")
+    )
+    filt = build_scaling_bloom(
+        df, "key", "id", capacity=1500, error_rate=0.05, id_layout="dense"
+    )
+    dels = df.filter("id % 4 = 0")
+    driver = copy.deepcopy(filt)
+    bloom_remove(driver, dels, "key", "id")
+    dist = bloom_remove_distributed(filt, dels, "key", id_col="id")
+    assert dist.to_bytes() == driver.to_bytes()
+    kept = [f"k{i}".encode() for i in range(6000) if i % 4]
+    assert dist.check(kept).all()

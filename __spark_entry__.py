@@ -325,6 +325,29 @@ def _q_windowed_distinct_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sql_udaf_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-registered UDAF surface, oracle-checked end to end: a
+    plain `spark.sql` GROUP BY whose aggregate is our mergeable theta
+    UDAF (north_star's "Aggregator-style UDAF" as literal SQL). With
+    k=65536 the sketch stays under-full at this scale, so the estimate
+    IS the exact distinct count and hash-matches the DuckDB oracle."""
+    from dablooms_spark.operators.udafs import register_sketch_udafs
+
+    register_sketch_udafs(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_v")
+    return spark.sql(
+        """
+        SELECT event_type,
+               CAST(dablooms_estimate(
+                   dablooms_theta_agg(CAST(user_id AS STRING))
+               ) AS BIGINT) AS distinct_users
+        FROM events_v
+        GROUP BY event_type
+        ORDER BY event_type
+        """
+    )
+
+
 def _q_frequent_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT heavy hitters via pigeonhole candidates + CMS prune +
     exact recount (operators.sketch_agg.frequent_keys)."""
@@ -668,6 +691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_chains": _q_dedup_clusters_chains,
         "bloom_remove_membership": _q_bloom_remove_membership,
         "windowed_distinct_stream": _q_windowed_distinct_stream,
+        "sql_udaf_distinct": _q_sql_udaf_distinct,
         "bloom_anti_join_lineitem": _q_bloom_anti_join_lineitem,
         "scaling_bloom_membership": _q_scaling_bloom_membership,
         "scaling_dense_membership": _q_scaling_dense_membership,
@@ -741,6 +765,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT CAST(user_id AS VARCHAR) AS user_id
             FROM events
             WHERE event_type = 'click' AND value <= 90
+        """,
+        "sql_udaf_distinct": """
+            SELECT event_type,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users
+            FROM events
+            GROUP BY event_type
+            ORDER BY event_type
         """,
         "windowed_distinct_stream": """
             SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,

@@ -150,6 +150,9 @@ def merge_sketch_udaf():
 
 
 def _hll_estimate_udf():
+    # dispatches on the blob's magic, so it reads ANY sketch exposing
+    # estimate() — hll and theta alike (registered as both
+    # dablooms_hll_estimate and the generic dablooms_estimate)
     @pandas_udf("double")
     def f(blobs: pd.Series) -> pd.Series:
         return pd.Series([float(_loads(b).estimate()) for b in blobs])
@@ -158,6 +161,11 @@ def _hll_estimate_udf():
 
 
 def hll_estimate(col):
+    return _hll_estimate_udf()(col)
+
+
+def sketch_estimate(col):
+    """Generic estimate reader for any blob with estimate()."""
     return _hll_estimate_udf()(col)
 
 
@@ -229,8 +237,12 @@ def register_sketch_udafs(spark) -> None:
         "dablooms_bloom_agg",
         sketch_udaf("counting_bloom", capacity=100_000, error_rate=0.01),
     )
+    # theta with a generous k: EXACT distinct counts while a group's
+    # cardinality stays under k (the oracle-checkable mode)
+    spark.udf.register("dablooms_theta_agg", sketch_udaf("theta", k=65536))
     spark.udf.register("dablooms_merge_agg", merge_sketch_udaf())
     spark.udf.register("dablooms_hll_estimate", _hll_estimate_udf())
+    spark.udf.register("dablooms_estimate", _hll_estimate_udf())
     spark.udf.register("dablooms_count", _sketch_count_udf())
     spark.udf.register("dablooms_median", quantile_udf(0.5))
     spark.udf.register("dablooms_cms_query", _cms_query_udf())

@@ -63,15 +63,21 @@ class CheckpointManager:
         lineage: dict | None = None,
         metrics: dict | None = None,
     ) -> int:
-        """Write blobs, then atomically publish the manifest."""
+        """Write blobs, then atomically publish the manifest.
+
+        Accepts both the (shard, blob, n) partial/merged form and the
+        scaling filter's LAYER-ROW form from scaling_layers_df /
+        scaling_bloom_fixed_partials (keyed by first_id) — the
+        at-scale artifact whose write parallelizes per layer."""
         seqnum = self._next_seqnum()
         blob_dir = os.path.join(self.path, "blobs", f"seq={seqnum}")
         blob_df.write.mode("errorifexists").parquet(blob_dir)
 
         spark = blob_df.sparkSession
+        key_col = "shard" if "shard" in blob_df.columns else "first_id"
         per_part = [
-            {"shard": r["shard"], "rows": r["n"]}
-            for r in spark.read.parquet(blob_dir).select("shard", "n").collect()
+            {"shard": r[key_col], "rows": r["n"]}
+            for r in spark.read.parquet(blob_dir).select(key_col, "n").collect()
         ]
         manifest = {
             "seqnum": seqnum,
@@ -116,7 +122,15 @@ class CheckpointManager:
             manifest = self.latest()
         if manifest is None:
             return None
-        rows = self.load_blobs(spark, manifest).select("blob").collect()
+        df = self.load_blobs(spark, manifest)
+        if "first_id" in df.columns:
+            # layer-row artifact: per-layer geometries differ by design,
+            # so reassembly is positional, not a blob merge
+            from dablooms_spark.operators.bloom_build import assemble_scaling_bloom
+
+            rows = df.collect()
+            return assemble_scaling_bloom(rows, seed) if rows else None
+        rows = df.select("blob").collect()
         if not rows:
             return None
         sk = loads(rows[0].blob, seed=seed)

@@ -98,3 +98,32 @@ def test_seqnum_monotone_and_run_filter(spark, docs, tmp_path_factory):
     mgr = CheckpointManager(path)
     assert mgr.latest()["seqnum"] == 3
     assert mgr.latest(run_id="b")["seqnum"] == 2
+
+
+def test_checkpoint_layer_rows_manifest_roundtrip(spark, tmp_path):
+    """CheckpointManager accepts the layer-row artifact: manifest
+    carries per-layer metrics, restore reassembles the filter
+    bit-identically to a direct driver build."""
+    from pyspark.sql import functions as F
+
+    from dablooms_spark.operators import build_scaling_bloom
+    from dablooms_spark.operators.bloom_build import scaling_bloom_fixed_partials
+    from dablooms_spark.sources.checkpoint import CheckpointManager
+
+    df = spark.range(8000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("key"), F.col("id")
+    )
+    layers = scaling_bloom_fixed_partials(
+        df, "key", "id", capacity=2000, error_rate=0.05
+    )
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    seq = mgr.commit(layers, run_id="r1", stage="layers",
+                     lineage={"input": "range(8000)"})
+    m = mgr.manifest(seq)
+    assert m["total_rows"] == 8000
+    assert m["num_partitions"] == 8000 // 1999 + 1  # one entry per layer
+    restored = mgr.restore_sketch(spark, m)
+    direct = build_scaling_bloom(
+        df, "key", "id", capacity=2000, error_rate=0.05, id_layout="dense"
+    )
+    assert restored.to_bytes() == direct.to_bytes()

@@ -392,6 +392,22 @@ def _q_value_quantiles_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantiles_by(events, "event_type", "value", [0.5, 0.9], kind="kll", k=200)
 
 
+def _q_kll_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KLL pipeline in its EXACT regime, oracle-checked: with
+    k >= group size no compactor ever fires, the sketch holds every
+    value at weight 1 through the distributed build AND the per-group
+    blob merges, and quantile(q) is exactly the value at 1-based rank
+    ceil(q*n) of the sorted group — the convention the SQL oracle
+    mirrors with a window. Same operator and merge path as the
+    approximate k=200 query; only the accuracy knob differs."""
+    from dablooms_spark.operators.sketch_agg import quantiles_by
+
+    events = load_table(spark, sf_dir, "events")
+    return quantiles_by(
+        events, "event_type", "value", [0.25, 0.5, 0.9], kind="kll", k=65536
+    ).orderBy("event_type", "q")
+
+
 # ---- training-data pipeline queries ---------------------------------------
 
 
@@ -700,6 +716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_by_type": _q_hll_distinct_by_type,
         "value_quantiles_tdigest": _q_value_quantiles_tdigest,
         "value_quantiles_kll": _q_value_quantiles_kll,
+        "kll_quantiles_exact": _q_kll_quantiles_exact,
         "token_count_docs": _q_token_count,
         "bpe_token_count_docs": _q_bpe_token_count,
         "quality_scores_docs": _q_quality_scores,
@@ -765,6 +782,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT CAST(user_id AS VARCHAR) AS user_id
             FROM events
             WHERE event_type = 'click' AND value <= 90
+        """,
+        "kll_quantiles_exact": """
+            WITH ranked AS (
+                SELECT event_type, value,
+                       row_number() OVER (
+                           PARTITION BY event_type ORDER BY value
+                       ) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS cnt
+                FROM events
+                WHERE value IS NOT NULL
+            )
+            SELECT event_type, CAST(q AS DOUBLE) AS q, value
+            FROM ranked,
+                 (VALUES (CAST(0.25 AS DOUBLE)), (CAST(0.5 AS DOUBLE)),
+                         (CAST(0.9 AS DOUBLE))) qs(q)
+            WHERE rn = CAST(ceiling(q * cnt) AS BIGINT)
+            ORDER BY event_type, q
         """,
         "sql_udaf_distinct": """
             SELECT event_type,

@@ -210,3 +210,32 @@ def test_streaming_windowed_hll_with_watermark(spark, tmp_path_factory):
     }
     for ws, est in finals.items():
         assert abs(est - exact[ws]) / max(exact[ws], 1) < 0.1, ws
+
+
+def test_fixed_scaling_build_plan_shape(spark, wp_parquet):
+    """The fixed-boundary scaling build's plan IS its scaling story:
+    the piece stage runs directly over the scan with NO row exchange,
+    no sort, and no html read; the only Exchange in the whole job is
+    the blob-piece groupBy (hashpartitioning on the layer key)."""
+    from dablooms_spark.operators.bloom_build import scaling_bloom_fixed_partials
+
+    wp = spark.read.parquet(wp_parquet)
+    layers = scaling_bloom_fixed_partials(
+        wp, "text", "row_id", capacity=5_000, error_rate=0.05
+    )
+    plan = _formatted_plan(layers)
+    lines = plan.splitlines()
+    exchanges = [l for l in lines if l.startswith("(") and "Exchange" in l]
+    assert len(exchanges) == 1, plan  # only the piece groupBy
+    # the one Exchange (and applyInPandas's group-sort above it) moves
+    # PIECE rows keyed by layer — never corpus text rows
+    for node in ("Exchange", "Sort"):
+        blocks = [
+            i for i, l in enumerate(lines)
+            if l.startswith("(") and f") {node}" in l
+        ]
+        for i in blocks:
+            seg = "\n".join(lines[i : i + 4])
+            assert "layer" in seg and "text" not in seg, seg
+    scan = [l for l in lines if "ReadSchema" in l]
+    assert scan and "html" not in scan[0]

@@ -192,22 +192,36 @@ def train_ivf_centroids(
 ) -> np.ndarray:
     """Distributed Lloyd iterations for IVF centroids, deterministic.
 
-    Init is the smallest-xxhash64(id) sample; each iteration is one
-    corpus scan emitting per-PARTITION partial (cell, sum_vec, count)
-    stats (map-side combine — the shuffle-free shape), reduced on the
-    driver in sorted (cell, shard) order so float summation order is
-    fixed. Driver traffic is O(C·P·d) centroid stats, never vectors.
-    Empty cells keep their previous centroid.
+    Init is k-means++-style farthest-point selection over an 8×C
+    hash-ordered candidate sample (greedy max-min cosine distance,
+    fully deterministic — no RNG): a spread-out init covers the space
+    far better than the first C hash draws, which can land several
+    centroids in one dense region. Each Lloyd iteration is one corpus
+    scan emitting per-PARTITION partial (cell, sum_vec, count) stats
+    (map-side combine — the shuffle-free shape), reduced on the driver
+    in sorted (cell, shard) order so float summation order is fixed.
+    Driver traffic is O(C·P·d) centroid stats, never vectors. Empty
+    cells keep their previous centroid.
     """
     spark = corpus.sparkSession
     sample = (
         corpus.select(id_col, vec_col)
         .withColumn("__h", F.xxhash64(F.col(id_col), F.lit(seed)))
         .orderBy("__h")
-        .limit(num_centroids)
+        .limit(num_centroids * 8)
         .collect()
     )
-    cent = _normalize(np.array([r[vec_col] for r in sample], dtype=np.float64))
+    cand = _normalize(np.array([r[vec_col] for r in sample], dtype=np.float64))
+    if len(cand) <= num_centroids:
+        cent = cand
+    else:
+        chosen = [0]  # smallest-hash candidate seeds the chain
+        sims = cand @ cand[0]  # max similarity to any chosen centroid
+        for _ in range(num_centroids - 1):
+            nxt = int(np.argmin(sims))  # farthest from the chosen set
+            chosen.append(nxt)
+            sims = np.maximum(sims, cand @ cand[nxt])
+        cent = cand[np.array(chosen)]
     C, dim = cent.shape
     vecs = corpus.select(vec_col)
 

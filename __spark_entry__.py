@@ -26,7 +26,15 @@ from dablooms_spark.operators import (  # noqa: E402
     build_counting_bloom,
     build_scaling_bloom,
 )
-from dablooms_spark.sources import load_table  # noqa: E402
+from dablooms_spark.sources import load_table, table_row_count  # noqa: E402
+
+
+def _events_row_count(spark: SparkSession, sf_dir: str, df: DataFrame) -> int:
+    """Row count for split points / capacity hints without a full
+    scan: parquet footer metadata first (what table stats / an Iceberg
+    snapshot would serve), count() only as a fallback."""
+    n = table_row_count(sf_dir, "events")
+    return n if n is not None else df.count()
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -132,7 +140,7 @@ def _q_scaling_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").withColumn(
         "key", F.concat_ws(":", "user_id", "event_type")
     )
-    n = events.count()
+    n = _events_row_count(spark, sf_dir, events)
     first_half = events.filter(F.col("event_id") < n // 2)
     second_half = events.filter(F.col("event_id") >= n // 2)
     filt = build_scaling_bloom(
@@ -155,7 +163,7 @@ def _q_scaling_dense_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").withColumn(
         "key", F.concat_ws(":", "user_id", "event_type")
     )
-    n = events.count()
+    n = _events_row_count(spark, sf_dir, events)
     first_half = events.filter(F.col("event_id") < n // 2)
     second_half = events.filter(F.col("event_id") >= n // 2)
     filt = build_scaling_bloom(
@@ -252,7 +260,10 @@ def _q_bloom_remove_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("user_id").cast("string").alias("skey"))
         .distinct()
     )
-    n = click_users.count()
+    # capacity hint: footer row count of events is a free upper bound
+    # on distinct click users (no count() job; oversizing a counting
+    # bloom only lowers its FP rate)
+    n = _events_row_count(spark, sf_dir, events)
     filt = build_counting_bloom(
         click_users, "ukey", capacity=max(n, 1), error_rate=0.01
     )
@@ -265,6 +276,43 @@ def _q_bloom_remove_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_semi_join(
         click_users, "ukey", filt, exact_df=survivors_dim, exact_key="skey"
     ).select(F.col("ukey").alias("user_id"))
+
+
+def _q_incremental_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's home workflow as one operator: three successive
+    ingest batches (event_id thirds) through restore → bloom-split →
+    add → atomic checkpoint commit; each round reports the users never
+    seen in ANY earlier batch (bloom prunes, exact dim verifies, so
+    the split is deterministic). Oracle: first-seen batch per user."""
+    import tempfile
+
+    from dablooms_spark.operators.ingest import incremental_ingest
+
+    events = load_table(spark, sf_dir, "events")
+    n = _events_row_count(spark, sf_dir, events)
+    path = tempfile.mkdtemp(prefix="dablooms-ingest-ck-")
+    out = None
+    prior_keys = None
+    for b in range(3):
+        lo = b * n // 3
+        hi = (b + 1) * n // 3 if b < 2 else n
+        batch = (
+            events.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi))
+            .select(F.col("user_id").cast("string").alias("ukey"))
+            .distinct()
+        )
+        new_rows, _seq = incremental_ingest(
+            batch, "ukey", path, "contract", capacity=max(n, 1),
+            error_rate=0.01, exact_seen_df=prior_keys, exact_key="ukey",
+        )
+        tagged = new_rows.select(
+            "ukey", F.lit(b).cast("int").alias("first_seen_batch")
+        )
+        out = tagged if out is None else out.unionByName(tagged)
+        prior_keys = batch if prior_keys is None else prior_keys.unionByName(batch)
+    return out.select(
+        F.col("ukey").cast("long").alias("user_id"), "first_seen_batch"
+    )
 
 
 def _q_windowed_distinct_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -446,6 +494,57 @@ def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return with_lang_id(docs).select("doc_id", "lang_pred")
+
+
+def _q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (dup-token fraction,
+    most-frequent-bigram share) — pure Catalyst, computed map-side via
+    a sorted-run fold, no explode/shuffle. Bit-exact vs the oracle's
+    unnest + GROUP BY formulation."""
+    from dablooms_spark.operators.textops import with_repetition_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return with_repetition_scores(docs).select(
+        "doc_id", "n_tokens", "dup_token_frac",
+        "top_bigram_count", "top_bigram_frac",
+    )
+
+
+def _q_url_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + decomposition over a deterministic url
+    column derived from doc_id (the test tables carry no URLs; both
+    engines synthesize the identical strings, then canonicalize with
+    the same documented rules). Pure Catalyst, map-only."""
+    from dablooms_spark.operators.urlops import with_url_parts
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    host_n = (i % 37).cast("string")
+    ids = i.cast("string")
+    url = (
+        F.when(
+            i % 3 == 0,
+            F.concat(
+                F.lit("HTTPS://U:p@Host-"), host_n, F.lit(".Example.COM:443/P/"),
+                ids, F.lit("?b=2&utm_source=x&a=1#f"),
+            ),
+        )
+        .when(
+            i % 3 == 1,
+            F.concat(
+                F.lit("http://host-"), host_n, F.lit(".example.com:8080/x/"), ids
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://Sub.Host-"), host_n, F.lit(".Example.COM?z="),
+                (i % 5).cast("string"), F.lit("&y=1"),
+            )
+        )
+    )
+    return with_url_parts(docs.withColumn("url", url)).select(
+        "doc_id", "url", "canonical_url", "host", "registered_domain", "path"
+    )
 
 
 def _q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -707,6 +806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_chains": _q_dedup_clusters_chains,
         "bloom_remove_membership": _q_bloom_remove_membership,
         "windowed_distinct_stream": _q_windowed_distinct_stream,
+        "incremental_new_users": _q_incremental_new_users,
         "sql_udaf_distinct": _q_sql_udaf_distinct,
         "bloom_anti_join_lineitem": _q_bloom_anti_join_lineitem,
         "scaling_bloom_membership": _q_scaling_bloom_membership,
@@ -722,6 +822,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores_docs": _q_quality_scores,
         "lang_id_docs": _q_lang_id,
         "doc_fingerprints": _q_doc_fingerprints,
+        "repetition_scores_docs": _q_repetition_scores,
+        "url_canonical_docs": _q_url_canonical_docs,
         "exact_dedup_docs": _q_exact_dedup,
         "minhash_dedup_pairs": _q_minhash_dedup_pairs,
         "simhash_pairs": _q_simhash_pairs,
@@ -956,6 +1058,92 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id, count(*) AS dupes
             FROM documents
             GROUP BY md5(text)
+        """,
+        "incremental_new_users": """
+            SELECT user_id,
+                   CAST(MIN(CASE
+                       WHEN event_id < (SELECT COUNT(*) FROM events) // 3
+                           THEN 0
+                       WHEN event_id < 2 * (SELECT COUNT(*) FROM events) // 3
+                           THEN 1
+                       ELSE 2 END) AS INT) AS first_seen_batch
+            FROM events
+            GROUP BY user_id
+        """,
+        "url_canonical_docs": """
+            WITH u AS (
+                SELECT doc_id,
+                       CASE
+                         WHEN doc_id % 3 = 0 THEN
+                           'HTTPS://U:p@Host-' || CAST(doc_id % 37 AS VARCHAR)
+                           || '.Example.COM:443/P/' || CAST(doc_id AS VARCHAR)
+                           || '?b=2&utm_source=x&a=1#f'
+                         WHEN doc_id % 3 = 1 THEN
+                           'http://host-' || CAST(doc_id % 37 AS VARCHAR)
+                           || '.example.com:8080/x/' || CAST(doc_id AS VARCHAR)
+                         ELSE
+                           'https://Sub.Host-' || CAST(doc_id % 37 AS VARCHAR)
+                           || '.Example.COM?z=' || CAST(doc_id % 5 AS VARCHAR)
+                           || '&y=1'
+                       END AS url
+                FROM documents),
+            p AS (
+                SELECT doc_id, url,
+                       lower(regexp_extract(url,
+                           '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                       regexp_extract(url,
+                           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth,
+                       regexp_extract(url,
+                           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+                           AS rawpath,
+                       regexp_extract(url, '\?([^#]*)', 1) AS rawq
+                FROM u),
+            h AS (
+                SELECT doc_id, url, scheme,
+                       lower(regexp_extract(auth, '^(?:[^@]*@)?([^:]*)', 1))
+                           AS host,
+                       regexp_extract(auth, ':([0-9]+)$', 1) AS port,
+                       CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS path,
+                       COALESCE(array_to_string(list_sort(list_filter(
+                           string_split(rawq, '&'),
+                           q2 -> q2 <> '' AND substring(q2, 1, 4) <> 'utm_')),
+                           '&'), '') AS joined
+                FROM p)
+            SELECT doc_id, url,
+                   CASE WHEN scheme = '' THEN '' ELSE
+                     scheme || '://' || host ||
+                     CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                               OR (scheme = 'https' AND port = '443') THEN ''
+                          ELSE ':' || port END ||
+                     path ||
+                     CASE WHEN joined = '' THEN '' ELSE '?' || joined END
+                   END AS canonical_url,
+                   host,
+                   regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+                       AS registered_domain,
+                   path
+            FROM h
+        """,
+        "repetition_scores_docs": """
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                       FROM documents),
+            s AS (SELECT doc_id, len(toks) AS n_tok,
+                         len(list_distinct(toks)) AS n_dist,
+                         list_transform(range(1, len(toks)),
+                                        i -> toks[i] || ' ' || toks[i+1]) AS bgs
+                  FROM t),
+            c AS (SELECT doc_id AS c_doc_id, bg, count(*) AS cnt
+                  FROM (SELECT doc_id, unnest(bgs) AS bg FROM s)
+                  GROUP BY doc_id, bg),
+            m AS (SELECT c_doc_id, max(cnt) AS top_cnt FROM c GROUP BY c_doc_id)
+            SELECT s.doc_id,
+                   CAST(s.n_tok AS INT) AS n_tokens,
+                   CAST(s.n_tok - s.n_dist AS DOUBLE) / s.n_tok AS dup_token_frac,
+                   CAST(COALESCE(m.top_cnt, 0) AS INT) AS top_bigram_count,
+                   CASE WHEN s.n_tok >= 2
+                        THEN CAST(m.top_cnt AS DOUBLE) / (s.n_tok - 1)
+                        ELSE 0.0 END AS top_bigram_frac
+            FROM s LEFT JOIN m ON s.doc_id = m.c_doc_id
         """,
         "ann_cosine_topk": """
             WITH q AS (

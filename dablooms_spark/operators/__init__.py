@@ -56,7 +56,19 @@ from dablooms_spark.operators.textops import (
     with_quality_score,
     with_lang_id,
     with_fingerprint,
+    with_repetition_scores,
     shingle_hashes,
+)
+from dablooms_spark.operators.ingest import (
+    incremental_ingest,
+    restore_filter,
+)
+from dablooms_spark.operators.urlops import (
+    canonicalize_url,
+    host_counts,
+    url_host,
+    url_registered_domain,
+    with_url_parts,
 )
 from dablooms_spark.operators.multimodal import (
     with_media_meta,
@@ -115,7 +127,15 @@ __all__ = [
     "with_quality_score",
     "with_lang_id",
     "with_fingerprint",
+    "with_repetition_scores",
     "shingle_hashes",
+    "incremental_ingest",
+    "restore_filter",
+    "canonicalize_url",
+    "host_counts",
+    "url_host",
+    "url_registered_domain",
+    "with_url_parts",
     "with_media_meta",
     "decode_media",
     "sample_frames",

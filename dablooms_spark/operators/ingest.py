@@ -1,0 +1,133 @@
+"""Incremental batch ingest: the reference library's home workflow.
+
+bitly's production use of dablooms is "have we seen this key before?"
+across successive ingests — restore yesterday's filter, split today's
+batch into seen/new, add the new keys, persist for tomorrow. This
+module packages that loop as one resumable operator over the
+checkpoint protocol (sources/checkpoint.py, mirroring
+scaling_bloom_flush's write-ahead commit order, src/dablooms.c ≈L552):
+
+    new_rows, seq = incremental_ingest(batch, "url", path, "crawl", ...)
+
+Scale shape per batch (none of these steps collect rows):
+  * restore      — read ONE merged blob row from the last commit
+                   (the artifact is kept merged, so restore is O(filter
+                   size), not O(history))
+  * split        — broadcast-blob probe; bloom misses are DEFINITE
+                   new keys (no false negatives); with exact_seen_df
+                   the ε-sized hit set is verified by a real anti join,
+                   making the split exact
+  * add + commit — per-partition partial blobs over the batch, unioned
+                   with the prior blob, counter-sum merged cluster-side
+                   to one row, committed under the next seqnum with
+                   parent lineage
+
+Counter-sum merge associativity makes the committed filter
+bit-identical to a single build over the concatenation of every batch
+ingested so far (property-tested).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dablooms_spark.core.counting_bloom import CountingBloom
+from dablooms_spark.core.serde import loads
+from dablooms_spark.functions.murmur import DABLOOMS_SEED
+from dablooms_spark.operators.bloom_build import counting_bloom_partials, merge_blobs_df
+from dablooms_spark.operators.bloom_probe import bloom_anti_join
+from dablooms_spark.sources.checkpoint import CheckpointManager
+
+
+def restore_filter(
+    spark: SparkSession,
+    checkpoint_path: str,
+    run_id: str | None = None,
+    seed: int = DABLOOMS_SEED,
+):
+    """(filter, manifest) from the latest commit, or (None, None) on a
+    fresh path. The ingest artifact is always one merged blob row, so
+    this reads O(filter size) bytes regardless of ingest history."""
+    mgr = CheckpointManager(checkpoint_path)
+    manifest = mgr.latest(run_id)
+    if manifest is None:
+        return None, None
+    rows = mgr.load_blobs(spark, manifest).select("blob").collect()
+    if not rows:
+        return None, manifest
+    filt = loads(bytes(rows[0].blob), seed=seed)
+    for r in rows[1:]:
+        filt = filt.merge(loads(bytes(r.blob), seed=seed))
+    return filt, manifest
+
+
+def incremental_ingest(
+    batch_df: DataFrame,
+    key_col: str,
+    checkpoint_path: str,
+    run_id: str,
+    capacity: int,
+    error_rate: float,
+    seed: int = DABLOOMS_SEED,
+    exact_seen_df: DataFrame | None = None,
+    exact_key: str | None = None,
+    batch_tag: str | None = None,
+) -> tuple[DataFrame, int]:
+    """One ingest round. Returns (new_rows, committed_seqnum).
+
+    new_rows are the batch rows whose key was NOT present in any
+    previously ingested batch: exact when exact_seen_df (the prior
+    keys, e.g. the upstream table filtered to earlier partitions) is
+    given; otherwise within the filter's false-positive bound (a few
+    genuinely-new rows may be misclassified seen — never the reverse).
+
+    The returned DataFrame is lazy; the filter update is committed
+    eagerly (blob algebra only — the batch is scanned once for
+    partials, new_rows evaluate on the caller's schedule).
+    """
+    spark = batch_df.sparkSession
+    prior, manifest = restore_filter(spark, checkpoint_path, run_id, seed)
+
+    if prior is None:
+        new_rows = batch_df
+    else:
+        if not isinstance(prior, CountingBloom):
+            raise TypeError(
+                "incremental_ingest checkpoints counting blooms; found "
+                f"{type(prior).__name__} at {checkpoint_path}"
+            )
+        new_rows = bloom_anti_join(
+            batch_df, key_col, prior, exact_df=exact_seen_df, exact_key=exact_key
+        )
+
+    # update side: batch partials ∪ prior blob → one merged row
+    partials = counting_bloom_partials(batch_df, key_col, capacity, error_rate, seed)
+    if prior is not None:
+        g = prior.geometry
+        if (g.capacity, g.error_rate) != (capacity, error_rate):
+            raise ValueError(
+                "geometry drift: checkpoint was built with "
+                f"capacity={g.capacity}, error_rate={g.error_rate}"
+            )
+        prior_row = spark.createDataFrame(
+            [(int(-1), bytearray(prior.to_bytes()), int(prior.count))],
+            "shard long, blob binary, n long",
+        )
+        partials = partials.unionByName(prior_row)
+    merged = merge_blobs_df(partials, seed=seed)
+
+    mgr = CheckpointManager(checkpoint_path)
+    seq = mgr.commit(
+        merged,
+        run_id,
+        stage="ingest",
+        lineage={
+            "parent_seqnum": manifest["seqnum"] if manifest else None,
+            "batch_tag": batch_tag,
+            "key_col": key_col,
+            "capacity": capacity,
+            "error_rate": error_rate,
+        },
+    )
+    return new_rows, seq

@@ -112,6 +112,66 @@ def with_fingerprint(
     return df.withColumn(out, F.array_min(F.transform(grams, F.md5)))
 
 
+def with_repetition_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals, pure Catalyst.
+
+    Adds, per document:
+      n_tokens          — whitespace token count
+      dup_token_frac    — fraction of tokens that are repeats of an
+                          earlier token (1 - distinct/total); high
+                          values flag boilerplate/keyword-stuffed docs
+      top_bigram_count  — occurrences of the most frequent word bigram
+      top_bigram_frac   — that count over all bigrams; the classic
+                          "repeated phrase" filter from the Gopher /
+                          MassiveText quality rules
+
+    The most-frequent-bigram count is computed WITHOUT explode/shuffle:
+    sort the per-row bigram array and take the longest equal-run via a
+    single F.aggregate fold — O(n log n) per document, stays inside
+    whole-stage codegen, no Python, no per-doc groupBy. At 100 TB this
+    is a map-only stage over the scan.
+
+    Documents with fewer than 2 tokens get top_bigram_count = 0 and
+    top_bigram_frac = 0.0 (no bigrams exist).
+    """
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    dup_token_frac = (
+        (n_tok - F.size(F.array_distinct(toks))).cast("double") / n_tok
+    )
+    n_bg = n_tok - F.lit(1)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_bg, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+    )
+    sorted_bg = F.array_sort(bigrams)
+    # longest equal-run in the sorted array == max bigram multiplicity
+    zero = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def _step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + F.lit(1)).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    top_cnt = F.when(
+        n_tok >= 2, F.aggregate(sorted_bg, zero, _step, lambda a: a["best"])
+    ).otherwise(F.lit(0))
+    top_frac = F.when(
+        n_tok >= 2, top_cnt.cast("double") / n_bg
+    ).otherwise(F.lit(0.0))
+    return (
+        df.withColumn("n_tokens", n_tok)
+        .withColumn("dup_token_frac", dup_token_frac)
+        .withColumn("top_bigram_count", top_cnt)
+        .withColumn("top_bigram_frac", top_frac)
+    )
+
+
 def shingle_hashes(
     text_col: str | Column, k: int = 5, num_buckets: int = 1 << 32
 ) -> Column:

@@ -3,6 +3,13 @@ from dablooms_spark.sources.tables import (
     load_table,
     load_tables,
     synth_webpages,
+    table_row_count,
 )
 
-__all__ = ["load_table", "load_tables", "synth_webpages", "TABLE_NAMES"]
+__all__ = [
+    "load_table",
+    "load_tables",
+    "synth_webpages",
+    "table_row_count",
+    "TABLE_NAMES",
+]

@@ -41,6 +41,33 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in TABLE_NAMES}
 
 
+def table_row_count(sf_dir: str, name: str) -> int | None:
+    """Exact row count from parquet FOOTER metadata — zero data scan.
+
+    Replaces driver-side `df.count()` actions used only for sizing
+    (split points, bloom capacity hints): at 100 TB a count() is a
+    full job over the table, while the footer num_rows is a handful of
+    metadata reads (what a real catalog/Iceberg snapshot would serve
+    for free as table stats). Returns None when the path is not plain
+    local parquet (caller falls back to count())."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if not os.path.exists(path):
+        return None
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(path):
+            total = 0
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+            return total
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return None
+
+
 def synth_webpages(
     spark: SparkSession,
     n_rows: int = 100_000,

@@ -1,0 +1,84 @@
+"""Incremental batch ingest over the checkpoint protocol."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dablooms_spark.operators.bloom_build import build_counting_bloom
+from dablooms_spark.operators.ingest import incremental_ingest, restore_filter
+
+
+def _batches(spark):
+    """Three overlapping key batches: b2 re-sends half of b1, b3
+    re-sends keys from both."""
+    b1 = spark.range(0, 100).select(F.concat(F.lit("k"), F.col("id")).alias("key"))
+    b2 = spark.range(50, 150).select(F.concat(F.lit("k"), F.col("id")).alias("key"))
+    b3 = spark.range(0, 200, 4).select(F.concat(F.lit("k"), F.col("id")).alias("key"))
+    return b1, b2, b3
+
+
+def test_incremental_ingest_split_and_merge(spark, tmp_path):
+    path = str(tmp_path / "ck")
+    b1, b2, b3 = _batches(spark)
+
+    n1, s1 = incremental_ingest(b1, "key", path, "run", 1000, 0.01)
+    assert s1 == 1
+    assert n1.count() == 100  # fresh path: everything is new
+
+    n2, s2 = incremental_ingest(
+        b2, "key", path, "run", 1000, 0.01, exact_seen_df=b1, exact_key="key"
+    )
+    assert s2 == 2
+    new2 = {r["key"] for r in n2.collect()}
+    assert new2 == {f"k{i}" for i in range(100, 150)}
+
+    seen = b1.unionByName(b2)
+    n3, s3 = incremental_ingest(
+        b3, "key", path, "run", 1000, 0.01, exact_seen_df=seen, exact_key="key"
+    )
+    new3 = {r["key"] for r in n3.collect()}
+    assert new3 == {f"k{i}" for i in range(0, 200, 4) if i >= 150}
+
+    # committed filter is bit-identical to one build over all batches
+    filt, manifest = restore_filter(spark, path, "run")
+    union_all = b1.unionByName(b2).unionByName(b3)
+    oneshot = build_counting_bloom(union_all, "key", 1000, 0.01)
+    assert filt.to_bytes() == oneshot.to_bytes()
+    # lineage chain: 3 -> 2 -> 1 -> None
+    assert manifest["lineage"]["parent_seqnum"] == 2
+
+
+def test_incremental_ingest_no_false_negatives_without_exact(spark, tmp_path):
+    """Approximate mode: every truly-new key either surfaces in
+    new_rows or is an FP casualty — but no previously-seen key is ever
+    reported new."""
+    path = str(tmp_path / "ck")
+    b1, b2, _ = _batches(spark)
+    incremental_ingest(b1, "key", path, "run", 1000, 0.01)
+    n2, _ = incremental_ingest(b2, "key", path, "run", 1000, 0.01)
+    reported_new = {r["key"] for r in n2.collect()}
+    truly_seen = {f"k{i}" for i in range(50, 100)}
+    assert not (reported_new & truly_seen)
+
+
+def test_incremental_ingest_geometry_drift_raises(spark, tmp_path):
+    path = str(tmp_path / "ck")
+    b1, b2, _ = _batches(spark)
+    incremental_ingest(b1, "key", path, "run", 1000, 0.01)
+    with pytest.raises(ValueError, match="geometry drift"):
+        incremental_ingest(b2, "key", path, "run", 2000, 0.01)
+
+
+def test_incremental_ingest_manifest_metadata(spark, tmp_path):
+    path = str(tmp_path / "ck")
+    b1, _, _ = _batches(spark)
+    _, seq = incremental_ingest(
+        b1, "key", path, "run", 500, 0.02, batch_tag="day=2026-08-17"
+    )
+    with open(os.path.join(path, "manifest", f"{seq:012d}.json")) as fh:
+        m = json.load(fh)
+    assert m["lineage"]["batch_tag"] == "day=2026-08-17"
+    assert m["lineage"]["capacity"] == 500
+    assert m["total_rows"] == 100

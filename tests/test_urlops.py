@@ -1,0 +1,144 @@
+"""URL canonicalization / decomposition + repetition scores."""
+
+from pyspark.sql import functions as F
+
+from dablooms_spark.operators.urlops import (
+    canonicalize_url,
+    host_counts,
+    with_url_parts,
+)
+from dablooms_spark.operators.textops import with_repetition_scores
+
+
+CASES = [
+    # (raw, canonical, host, registered_domain, path)
+    (
+        "HTTPS://User:Pw@Example.COM:443/Path/To?b=2&utm_source=x&a=1#frag",
+        "https://example.com/Path/To?a=1&b=2",
+        "example.com",
+        "example.com",
+        "/Path/To",
+    ),
+    ("http://example.com:80", "http://example.com/", "example.com", "example.com", "/"),
+    (
+        "http://example.com:8080/x?z=1&y=2",
+        "http://example.com:8080/x?y=2&z=1",
+        "example.com",
+        "example.com",
+        "/x",
+    ),
+    (
+        "https://sub.Host-3.Example.COM/p/abc?utm_campaign=c",
+        "https://sub.host-3.example.com/p/abc",
+        "sub.host-3.example.com",
+        "example.com",
+        "/p/abc",
+    ),
+    (
+        "ftp://Files.Example.org:21/pub/",
+        "ftp://files.example.org:21/pub/",
+        "files.example.org",
+        "example.org",
+        "/pub/",
+    ),
+    ("not a url", "", "", "", "/"),
+    ("https://example.com/?&&a=1", "https://example.com/?a=1", "example.com", "example.com", "/"),
+    (
+        "http://example.com/a/b/c#only-frag",
+        "http://example.com/a/b/c",
+        "example.com",
+        "example.com",
+        "/a/b/c",
+    ),
+]
+
+
+def test_canonicalize_url_rules(spark):
+    df = spark.createDataFrame([(c[0],) for c in CASES], ["url"])
+    rows = {
+        r["url"]: r
+        for r in with_url_parts(df)
+        .select("url", "canonical_url", "host", "registered_domain", "path")
+        .collect()
+    }
+    for raw, canon, host, dom, path in CASES:
+        r = rows[raw]
+        assert r["canonical_url"] == canon, raw
+        assert r["host"] == host, raw
+        assert r["registered_domain"] == dom, raw
+        assert r["path"] == path, raw
+
+
+def test_canonicalize_idempotent(spark):
+    """canonicalize(canonicalize(u)) == canonicalize(u) — required for
+    a key normalizer feeding membership filters."""
+    df = spark.createDataFrame(
+        [(c[0],) for c in CASES if c[1]], ["url"]
+    ).withColumn("c1", canonicalize_url("url"))
+    twice = df.withColumn("c2", canonicalize_url("c1"))
+    assert twice.filter(F.col("c1") != F.col("c2")).count() == 0
+
+
+def test_url_parts_map_only(spark):
+    """The projection adds no Exchange: at 100 TB this must stay a
+    map-only stage over the scan."""
+    df = spark.range(100).withColumn(
+        "url", F.concat(F.lit("https://h-"), (F.col("id") % 7).cast("string"),
+                        F.lit(".example.com/p/"), F.col("id").cast("string"))
+    )
+    plan = with_url_parts(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_host_counts_salted_equals_plain(spark):
+    df = spark.range(2000).withColumn(
+        "url",
+        F.concat(
+            F.lit("https://h-"),
+            # skew: ~half the rows land on host h-0
+            F.when(F.col("id") % 2 == 0, F.lit("0"))
+            .otherwise((F.col("id") % 13).cast("string")),
+            F.lit(".example.com/p/"),
+            F.col("id").cast("string"),
+        ),
+    )
+    plain = {r["host"]: r["n_docs"] for r in host_counts(df).collect()}
+    salted = {r["host"]: r["n_docs"] for r in host_counts(df, salt_buckets=8).collect()}
+    assert plain == salted
+    # 1000 even ids + the 77 odd ids divisible by 13 (13, 39, ..., 1989)
+    assert plain["h-0.example.com"] == 1077
+    assert sum(plain.values()) == 2000
+
+
+def test_repetition_scores_values(spark):
+    df = spark.createDataFrame(
+        [(0, "a b a b a c"), (1, "x"), (2, "one two three"), (3, "z z z z")],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in with_repetition_scores(df)
+        .select("doc_id", "n_tokens", "dup_token_frac",
+                "top_bigram_count", "top_bigram_frac")
+        .collect()
+    }
+    # doc 0: bigrams [a b, b a, a b, b a, a c] -> top 2/5
+    assert rows[0]["n_tokens"] == 6
+    assert rows[0]["dup_token_frac"] == 0.5
+    assert rows[0]["top_bigram_count"] == 2
+    assert rows[0]["top_bigram_frac"] == 0.4
+    # single token: no bigrams
+    assert rows[1]["top_bigram_count"] == 0
+    assert rows[1]["top_bigram_frac"] == 0.0
+    # all-unique
+    assert rows[2]["dup_token_frac"] == 0.0
+    assert rows[2]["top_bigram_count"] == 1
+    # degenerate repetition
+    assert rows[3]["dup_token_frac"] == 0.75
+    assert rows[3]["top_bigram_frac"] == 1.0
+
+
+def test_repetition_scores_map_only(spark):
+    df = spark.createDataFrame([(0, "a b c a b")], ["doc_id", "text"])
+    plan = with_repetition_scores(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

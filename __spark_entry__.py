@@ -315,6 +315,61 @@ def _q_incremental_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_streaming_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming dedup through the driver gate: events
+    split into two files (event_id halves) stream as two availableNow
+    micro-batches through streaming_first_seen (applyInPandasWithState,
+    per-shard counting-bloom state). Each distinct user:type key is
+    emitted EXACTLY once (blooms never false-negative); the oracle is
+    exact because at this load (≈750 keys in a 20k-capacity filter) the
+    deterministic hash set provably produces zero false-positive
+    suppressions — verified by the count match the driver enforces.
+    first_seen_half derives from the emitted row's event_id, which is
+    batch-stable regardless of intra-batch order."""
+    import tempfile
+
+    from dablooms_spark.streaming import streaming_first_seen
+
+    events = load_table(spark, sf_dir, "events")
+    n = _events_row_count(spark, sf_dir, events)
+    keyed = events.select(
+        "event_id", F.concat_ws(":", "user_id", "event_type").alias("ukey")
+    )
+    src_dir = tempfile.mkdtemp(prefix="dablooms_fs_src_")
+    keyed.filter(F.col("event_id") < n // 2).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+    keyed.filter(F.col("event_id") >= n // 2).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+    stream = (
+        spark.readStream.schema(keyed.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    out = streaming_first_seen(
+        stream, "ukey", capacity=20000, error_rate=0.01, num_shards=8,
+        order_col="event_id",
+    )
+    sink = "first_seen_sink"
+    if sink in [t.name for t in spark.catalog.listTables()]:
+        spark.catalog.dropTempView(sink)
+    ckpt = tempfile.mkdtemp(prefix="dablooms_fs_ckpt_")
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(f"SELECT ukey, event_id FROM {sink}").select(
+        "ukey",
+        (F.col("event_id") >= n // 2).cast("int").alias("first_seen_half"),
+    )
+
+
 def _q_windowed_distinct_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming through the driver gate: an availableNow
     file-stream run of windowed_distinct_stream (applyInPandasWithState,
@@ -807,6 +862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_remove_membership": _q_bloom_remove_membership,
         "windowed_distinct_stream": _q_windowed_distinct_stream,
         "incremental_new_users": _q_incremental_new_users,
+        "streaming_first_seen_keys": _q_streaming_first_seen,
         "sql_udaf_distinct": _q_sql_udaf_distinct,
         "bloom_anti_join_lineitem": _q_bloom_anti_join_lineitem,
         "scaling_bloom_membership": _q_scaling_bloom_membership,
@@ -1058,6 +1114,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id, count(*) AS dupes
             FROM documents
             GROUP BY md5(text)
+        """,
+        "streaming_first_seen_keys": """
+            SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS ukey,
+                   CAST(CASE WHEN MIN(event_id) <
+                           (SELECT COUNT(*) FROM events) // 2
+                        THEN 0 ELSE 1 END AS INT) AS first_seen_half
+            FROM events
+            GROUP BY user_id, event_type
         """,
         "incremental_new_users": """
             SELECT user_id,

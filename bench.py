@@ -76,10 +76,13 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> dict:
     counters = {}
 
     def q_bloom_build_lineitem():
+        from dablooms_spark.sources import table_row_count
+
         keyed = lineitem.select(
             F.concat_ws(":", "l_orderkey", "l_linenumber").alias("k")
         )
-        n = lineitem.count()
+        # capacity hint from parquet footer stats — no count() scan
+        n = table_row_count(sf_dir, "lineitem") or lineitem.count()
         filt = build_counting_bloom(keyed, "k", capacity=n, error_rate=0.01)
         counters["bloom_build_rows"] = filt.count
         return filt.count

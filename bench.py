@@ -155,15 +155,19 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> dict:
     # min of BENCH_TRIALS runs per query: the sandbox's background
     # load swings single-run numbers ±50%; the min is the engine's
     # cost, the rest is the neighbor's
-    trials = int(os.environ.get("BENCH_TRIALS", "2"))
-    times = {}
-    for name, fn in suite.items():
-        best = float("inf")
-        for _ in range(trials):
+    # trials interleave at SUITE level (run the whole suite N times,
+    # min per query): the box's load bursts last minutes, so
+    # back-to-back trials of one query can all land inside a burst —
+    # spreading a query's trials a full suite pass apart decorrelates
+    # them from any burst shorter than the suite
+    trials = int(os.environ.get("BENCH_TRIALS", "3"))
+    times = {name: float("inf") for name in suite}
+    for _ in range(trials):
+        for name, fn in suite.items():
             t0 = time.perf_counter()
             fn()
-            best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 3)
+            times[name] = min(times[name], time.perf_counter() - t0)
+    times = {name: round(t, 3) for name, t in times.items()}
     times["_counters"] = counters
     return times
 

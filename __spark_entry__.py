@@ -117,6 +117,35 @@ def _q_sharded_semi_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "o_custkey")
 
 
+def _q_sharded_scaling_semi_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join against a SHARDED SCALING filter — the
+    bigger-than-broadcast topology for the flagship filter type:
+    key-hash shards × fixed id-value layer boundaries (unique
+    o_orderkey ids), built with one piece-only shuffle, probed by
+    (shard, salt) cogroup. Exact verification keeps the result
+    deterministic; oracle: lineitem of orders above the price cut."""
+    from dablooms_spark.operators.sharded_scaling import (
+        build_sharded_scaling_layers,
+        sharded_scaling_semi_join,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    rich = orders.filter(F.col("o_totalprice") > 150000).select(
+        F.col("o_orderkey").cast("string").alias("okey"),
+        F.col("o_orderkey").alias("oid"),
+    )
+    layers = build_sharded_scaling_layers(
+        rich, "okey", "oid", capacity=500, error_rate=0.02, num_shards=4
+    )
+    probe = lineitem.withColumn("lkey", F.col("l_orderkey").cast("string"))
+    return sharded_scaling_semi_join(
+        probe, "lkey", layers,
+        exact_df=rich.select(F.col("okey").alias("dkey")), exact_key="dkey",
+        num_shards=4,
+    ).select("l_orderkey", "l_linenumber", "l_partkey")
+
+
 def _q_auto_semi_join_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strategy-choosing exact semi join (auto_semi_join): lineitems
     whose part is in the large-size part dimension. At sf0.01 the dim
@@ -856,6 +885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_semi_join_orders": _q_bloom_semi_join_orders,
         "auto_semi_join_lineitem": _q_auto_semi_join_lineitem,
         "sharded_semi_join_orders": _q_sharded_semi_join_orders,
+        "sharded_scaling_semi_lineitem": _q_sharded_scaling_semi_lineitem,
         "frame_samples_docs": _q_frame_samples,
         "extracted_text_docs": _q_extracted_text,
         "dedup_clusters_chains": _q_dedup_clusters_chains,
@@ -1114,6 +1144,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id, count(*) AS dupes
             FROM documents
             GROUP BY md5(text)
+        """,
+        "sharded_scaling_semi_lineitem": """
+            SELECT l_orderkey, l_linenumber, l_partkey
+            FROM lineitem
+            WHERE l_orderkey IN (
+                SELECT o_orderkey FROM orders WHERE o_totalprice > 150000
+            )
         """,
         "streaming_first_seen_keys": """
             SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS ukey,

@@ -28,6 +28,11 @@ from dablooms_spark.operators.sharded import (
     sharded_bloom_probe,
     sharded_semi_join,
 )
+from dablooms_spark.operators.sharded_scaling import (
+    build_sharded_scaling_layers,
+    sharded_scaling_probe,
+    sharded_scaling_semi_join,
+)
 from dablooms_spark.operators.sketch_agg import (
     sketch_agg,
     grouped_sketch_agg,
@@ -104,6 +109,9 @@ __all__ = [
     "build_sharded_counting_bloom",
     "sharded_bloom_probe",
     "sharded_semi_join",
+    "build_sharded_scaling_layers",
+    "sharded_scaling_probe",
+    "sharded_scaling_semi_join",
     "bloom_remove",
     "bloom_remove_distributed",
     "sketch_agg",

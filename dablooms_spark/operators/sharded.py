@@ -134,9 +134,16 @@ def sharded_bloom_probe(
     p = probe_df.withColumn("__shard", _shard_expr(key, num_shards)).withColumn(
         "__salt", F.pmod(F.xxhash64(key, F.lit(_SHARD_SEED + 1)), F.lit(salt))
     )
+    # __salt MUST be long on both sides: cogroup hash-partitions each
+    # side independently and int 0 / long 0 hash to different shuffle
+    # partitions — an int salt silently splits groups into a
+    # probe-only half (all-False verdicts) and an orphan blob half
+    # whenever the sides don't coalesce into one partition
     b = blobs_df.select(
-        F.col("shard").alias("__shard"),
-        F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias("__salt"),
+        F.col("shard").cast("long").alias("__shard"),
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(salt - 1).cast("long"))
+        ).alias("__salt"),
         "blob",
     )
     out_schema = StructType(

@@ -1,0 +1,297 @@
+"""Sharded SCALING bloom — the unbounded-stream filter at sizes
+broadcast can't reach.
+
+`build_scaling_bloom` materializes one driver-side filter and probes
+by broadcast; at 10^12 keys the filter is tens of GB and neither fits
+the driver nor a broadcast. This module keeps the scaling filter AS a
+DataFrame of (shard, layer) rows and probes by co-group, composing the
+two at-scale topologies already in the library:
+
+  * key-hash sharding (operators/sharded.py): a key's membership
+    question touches exactly ONE shard — probe volume never multiplies
+    by layer count;
+  * fixed id-value layer boundaries (bloom_build.
+    scaling_bloom_fixed_partials): the layer set is a deterministic
+    function of id, so the build is one map stage over the scan plus a
+    piece-only shuffle — rows never move.
+
+Layout: layer k of every shard owns ids in
+[k·S·(capacity−1), (k+1)·S·(capacity−1)). Unique ids mean a window
+holds ≤ S·(capacity−1) keys TOTAL; shard s draws a 1/S hash sample of
+them, so the expected shard-layer load is capacity−1 — the reference's
+per-layer bound in expectation rather than by construction. The layer
+geometry carries a 6·√capacity slack (Binomial(W, 1/S) tail: overflow
+probability < 1e-8 per shard-layer), the documented deviation this
+topology trades for losing the row shuffle.
+
+Per-layer error: the polynomial ε·(6/π²)/(k+1)² schedule (see
+scaling_bloom_fixed_partials). NO ε/num_shards split is needed: a key
+is checked only against its own shard's layers, so its compound FP is
+Σ_k ε_k ≤ ε regardless of shard count — sharding here is free in
+space, unlike the range path's per-shard budget.
+
+Reference parity: per (shard, layer) semantics are exactly
+counting_bloom_add/check (src/dablooms.c ≈L202/≈238) under the
+scaling filter's layer schedule (≈L437); the sharded topology is what
+the single mmap file cannot express.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType, StructField, StructType
+
+from dablooms_spark.core.counting_bloom import CountingBloom
+from dablooms_spark.core.geometry import BloomGeometry
+from dablooms_spark.functions.arrow_utils import arrow_byte_view
+from dablooms_spark.functions.hashing import km_expand
+from dablooms_spark.functions.murmur import DABLOOMS_SEED, dablooms_hash_words_buffer
+from dablooms_spark.operators.sharded import _SHARD_SEED, _shard_expr
+
+_POLY = 6.0 / (np.pi ** 2)
+
+_PIECE_SCHEMA = (
+    "shard long, layer long, idx binary, exc binary, vals binary, "
+    "n long, max_id long"
+)
+_ROW_SCHEMA = (
+    "shard long, first_id long, layer_eps double, capacity long, "
+    "max_id long, sb_eps double, blob binary, n long"
+)
+
+
+def _layer_geom(
+    k: int, capacity: int, error_rate: float, cache: dict
+) -> BloomGeometry:
+    g = cache.get(k)
+    if g is None:
+        slack = 6 * int(np.sqrt(capacity)) + 16
+        g = BloomGeometry(
+            capacity + slack, error_rate * _POLY / (k + 1) ** 2
+        )
+        cache[k] = g
+    return g
+
+
+def build_sharded_scaling_layers(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    capacity: int,
+    error_rate: float,
+    num_shards: int = 16,
+    seed: int = DABLOOMS_SEED,
+) -> DataFrame:
+    """DataFrame(shard, first_id, layer_eps, capacity, max_id, sb_eps,
+    blob, n): one counting-bloom layer per (shard, id window). Rows
+    never shuffle: stage 1 hashes keys zero-copy and emits one
+    gap-coded sparse piece per (partition, shard, touched layer);
+    stage 2 — the only exchange, pieces not rows — counter-sums per
+    (shard, layer). Shard routing is the same JVM-side expression the
+    probe uses (`pmod(xxhash64(key), S)`)."""
+    from dablooms_spark.core.codec import delta_decode, delta_encode
+
+    width = max(capacity - 1, 1) * num_shards
+    geom_cache: dict[int, BloomGeometry] = {}
+
+    key = F.col(key_col).cast("string")
+    sdf = df.select(
+        key.alias("key"),
+        F.col(id_col).cast("long").alias("id"),
+        _shard_expr(key, num_shards).alias("shard"),
+    ).filter(F.col("key").isNotNull() & F.col("id").isNotNull())
+
+    def piece_stage(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        idx_parts: dict[tuple[int, int], list[np.ndarray]] = {}
+        counts: dict[tuple[int, int], int] = {}
+        maxid: dict[tuple[int, int], int] = {}
+        for batch in batches:
+            ids = batch.column(1).to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(ids) == 0:
+                continue
+            shards = batch.column(2).to_numpy(zero_copy_only=False).astype(np.int64)
+            buf, offs, lens = arrow_byte_view(batch.column(0))
+            h1, h2 = dablooms_hash_words_buffer(buf, offs, lens, seed)
+            layer = ids // width
+            group = shards * (1 << 40) + layer  # composite for np.unique
+            for gcode in np.unique(group):
+                m = group == gcode
+                s, li = int(gcode >> 40), int(gcode & ((1 << 40) - 1))
+                g = _layer_geom(li, capacity, error_rate, geom_cache)
+                kk = (s, li)
+                idx_parts.setdefault(kk, []).append(
+                    km_expand(h1[m], h2[m], g.nfuncs, g.counts_per_func).ravel()
+                )
+                counts[kk] = counts.get(kk, 0) + int(m.sum())
+                maxid[kk] = max(maxid.get(kk, 0), int(ids[m].max()))
+        if not idx_parts:
+            return
+        sh, layers, gaps_b, exc_b, val_b, ns, mx = [], [], [], [], [], [], []
+        for s, li in sorted(idx_parts):
+            nz, cnts = np.unique(
+                np.concatenate(idx_parts[(s, li)]), return_counts=True
+            )
+            gaps, exc = delta_encode(nz.astype(np.int64))
+            sh.append(s)
+            layers.append(li)
+            gaps_b.append(gaps)
+            exc_b.append(exc)
+            val_b.append(np.minimum(cnts, 15).astype(np.uint8).tobytes())
+            ns.append(counts[(s, li)])
+            mx.append(maxid[(s, li)])
+        yield pa.RecordBatch.from_pydict(
+            {"shard": sh, "layer": layers, "idx": gaps_b, "exc": exc_b,
+             "vals": val_b, "n": ns, "max_id": mx},
+            schema=pa.schema(
+                [
+                    ("shard", pa.int64()),
+                    ("layer", pa.int64()),
+                    ("idx", pa.large_binary()),
+                    ("exc", pa.large_binary()),
+                    ("vals", pa.large_binary()),
+                    ("n", pa.int64()),
+                    ("max_id", pa.int64()),
+                ]
+            ),
+        )
+
+    pieces = sdf.mapInArrow(piece_stage, schema=_PIECE_SCHEMA)
+
+    def merge_layer(pdf: pd.DataFrame) -> pd.DataFrame:
+        s = int(pdf["shard"].iloc[0])
+        li = int(pdf["layer"].iloc[0])
+        g = _layer_geom(li, capacity, error_rate, geom_cache)
+        acc = np.zeros(g.size, dtype=np.int32)
+        for gap_bytes, exc_bytes, val_bytes in zip(pdf.idx, pdf.exc, pdf.vals):
+            idx = delta_decode(gap_bytes, exc_bytes)
+            np.add.at(
+                acc, idx, np.frombuffer(val_bytes, dtype=np.uint8).astype(np.int32)
+            )
+        np.clip(acc, 0, 15, out=acc)
+        cb = CountingBloom(
+            g.capacity, g.error_rate, first_id=li * width, seed=seed,
+            _counters=acc.astype(np.uint8), _count=int(pdf.n.sum()),
+        )
+        return pd.DataFrame(
+            {
+                "shard": [s],
+                "first_id": [li * width],
+                "layer_eps": [g.error_rate],
+                "capacity": [capacity],
+                "max_id": [int(pdf.max_id.max())],
+                "sb_eps": [error_rate],
+                "blob": [cb.to_bytes()],
+                "n": [cb.count],
+            }
+        )
+
+    return pieces.groupBy("shard", "layer").applyInPandas(
+        merge_layer, schema=_ROW_SCHEMA
+    )
+
+
+def sharded_scaling_probe(
+    probe_df: DataFrame,
+    key_col: str,
+    layers_df: DataFrame,
+    num_shards: int = 16,
+    salt: int = 8,
+    seed: int = DABLOOMS_SEED,
+    out_col: str = "is_member",
+) -> DataFrame:
+    """probe_df + Boolean membership against a sharded scaling filter.
+
+    Probe rows co-group with their shard's LAYER rows on (shard,
+    salt); the layer side replicates `salt` ways so a hot shard splits
+    across tasks. Layers are consulted newest-first with early-skip —
+    once a key answers positive it drops out of later (older) layer
+    checks, the vectorized form of scaling_bloom_check's loop
+    (src/dablooms.c ≈L238 family). No false negatives; FPs ≤ the
+    compound Σ layer budgets ≤ sb_eps."""
+    key = F.col(key_col).cast("string")
+    p = probe_df.withColumn("__shard", _shard_expr(key, num_shards)).withColumn(
+        "__salt", F.pmod(F.xxhash64(key, F.lit(_SHARD_SEED + 1)), F.lit(salt))
+    )
+    # __salt MUST be long on both sides: the probe side's pmod(xxhash64)
+    # is long, and cogroup hash-partitions each side independently —
+    # an int salt here lands the blob rows in DIFFERENT shuffle
+    # partitions than their probe rows (int 0 and long 0 hash apart),
+    # silently splitting every group into a probe-only half (all-False
+    # verdicts) and an orphan blob half
+    b = layers_df.select(
+        F.col("shard").cast("long").alias("__shard"),
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(salt - 1).cast("long"))
+        ).alias("__salt"),
+        "first_id",
+        "blob",
+    )
+    out_schema = StructType(
+        list(probe_df.schema.fields) + [StructField(out_col, BooleanType())]
+    )
+    in_cols = [f.name for f in probe_df.schema.fields]
+
+    def probe_group(keys, probe_pdf: pd.DataFrame, layer_pdf: pd.DataFrame) -> pd.DataFrame:
+        if probe_pdf.empty:
+            return pd.DataFrame(columns=in_cols + [out_col])
+        out = probe_pdf[in_cols]
+        if layer_pdf.empty:
+            return out.assign(**{out_col: False})
+        arr = pa.array(probe_pdf[key_col].astype(str), type=pa.large_string())
+        buf, offs, lens = arrow_byte_view(arr)
+        h1, h2 = dablooms_hash_words_buffer(buf, offs, lens, seed)
+        verdict = np.zeros(len(probe_pdf), dtype=bool)
+        unknown = np.ones(len(probe_pdf), dtype=bool)
+        layer_pdf = layer_pdf.sort_values("first_id", ascending=False)
+        for blob in layer_pdf.blob:
+            if not unknown.any():
+                break
+            cb = CountingBloom.from_bytes(bytes(blob), seed=seed)
+            idx = np.flatnonzero(unknown)
+            hit = cb.check_hashed(h1[idx], h2[idx])
+            verdict[idx[hit]] = True
+            unknown[idx[hit]] = False
+        nulls = probe_pdf[key_col].isna().to_numpy()
+        if nulls.any():
+            verdict &= ~nulls
+        return out.assign(**{out_col: verdict})
+
+    return (
+        p.groupBy("__shard", "__salt")
+        .cogroup(b.groupBy("__shard", "__salt"))
+        .applyInPandas(probe_group, schema=out_schema)
+    )
+
+
+def sharded_scaling_semi_join(
+    probe_df: DataFrame,
+    key_col: str,
+    layers_df: DataFrame,
+    exact_df: DataFrame | None = None,
+    exact_key: str | None = None,
+    num_shards: int = 16,
+    salt: int = 8,
+    seed: int = DABLOOMS_SEED,
+) -> DataFrame:
+    """Semi join against a sharded scaling filter: bloom-prune (no
+    false negatives), optionally confirm survivors exactly — the
+    bloom_semi_join contract at scaling-filter sizes broadcast can't
+    reach."""
+    out = sharded_scaling_probe(
+        probe_df, key_col, layers_df, num_shards, salt, seed, "__hit"
+    )
+    out = out.filter(F.col("__hit")).drop("__hit")
+    if exact_df is not None:
+        ek = exact_key or key_col
+        out = out.join(
+            exact_df.select(F.col(ek).alias("__ek")).distinct(),
+            on=F.col(key_col) == F.col("__ek"),
+            how="left_semi",
+        )
+    return out

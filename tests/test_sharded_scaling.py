@@ -1,0 +1,162 @@
+"""Sharded scaling bloom: build/probe/semi-join at bigger-than-
+broadcast filter sizes."""
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from dablooms_spark.operators.sharded_scaling import (
+    build_sharded_scaling_layers,
+    sharded_scaling_probe,
+    sharded_scaling_semi_join,
+)
+
+CAP, EPS, SHARDS = 2000, 0.02, 4
+
+
+def _rows(spark, n=30_000, parts=8):
+    return spark.range(0, n, 1, parts).select(
+        F.concat(F.lit("key"), F.col("id")).alias("k"), F.col("id").alias("id")
+    )
+
+
+def test_no_false_negatives_and_fp_bound(spark):
+    rows = _rows(spark)
+    layers = build_sharded_scaling_layers(
+        rows, "k", "id", capacity=CAP, error_rate=EPS, num_shards=SHARDS
+    ).cache()
+    res = sharded_scaling_probe(rows.select("k"), "k", layers, num_shards=SHARDS)
+    assert res.filter("NOT is_member").count() == 0
+    fresh = spark.range(30_000, 60_000).select(
+        F.concat(F.lit("key"), F.col("id")).alias("k")
+    )
+    fp = (
+        sharded_scaling_probe(fresh, "k", layers, num_shards=SHARDS)
+        .filter("is_member")
+        .count()
+    )
+    # compound bound is Σ layer budgets ≤ EPS; allow 1.5x sampling slop
+    assert fp / 30_000 <= EPS * 1.5
+    layers.unpersist()
+
+
+def test_shard_layer_load_within_slack(spark):
+    """Hash-sampled shard-layer load stays under the 6·√capacity
+    geometry slack (the documented deviation from the reference's
+    hard bound)."""
+    layers = build_sharded_scaling_layers(
+        _rows(spark), "k", "id", capacity=CAP, error_rate=EPS, num_shards=SHARDS
+    )
+    max_load = layers.agg(F.max("n")).collect()[0][0]
+    assert max_load <= CAP + 6 * int(math.sqrt(CAP)) + 16
+
+
+def test_partition_order_invariance(spark):
+    """Counter-sum merge: the layer rows are byte-identical no matter
+    how the input was partitioned."""
+    def fingerprint(parts):
+        layers = build_sharded_scaling_layers(
+            _rows(spark, parts=parts), "k", "id",
+            capacity=CAP, error_rate=EPS, num_shards=SHARDS,
+        )
+        return {
+            (r["shard"], r["first_id"]): hashlib.md5(bytes(r["blob"])).hexdigest()
+            for r in layers.collect()
+        }
+
+    a, b = fingerprint(3), fingerprint(11)
+    assert a == b
+
+
+def test_null_keys_probe_false(spark):
+    rows = _rows(spark, n=5_000)
+    layers = build_sharded_scaling_layers(
+        rows, "k", "id", capacity=CAP, error_rate=EPS, num_shards=SHARDS
+    )
+    probe = spark.createDataFrame(
+        [("key1",), (None,), ("key2",)], "k string"
+    )
+    got = {
+        r["k"]: r["is_member"]
+        for r in sharded_scaling_probe(probe, "k", layers, num_shards=SHARDS).collect()
+    }
+    assert got["key1"] and got["key2"]
+    assert got[None] is False
+
+
+def test_semi_join_exact(spark):
+    rows = _rows(spark, n=10_000)
+    dim = rows.filter("id % 3 = 0").select(F.col("k").alias("dk"))
+    layers = build_sharded_scaling_layers(
+        rows.filter("id % 3 = 0"), "k", "id",
+        capacity=CAP, error_rate=EPS, num_shards=SHARDS,
+    )
+    got = sharded_scaling_semi_join(
+        rows.select("k"), "k", layers, exact_df=dim, exact_key="dk",
+        num_shards=SHARDS,
+    )
+    expect = rows.join(dim, rows.k == dim.dk, "left_semi")
+    assert got.count() == expect.count() == 10_000 // 3 + 1
+
+
+def test_wide_probe_multi_partition_group_alignment(spark):
+    """Regression: probe-side __salt is LONG (pmod of xxhash64); the
+    blob/layer side's exploded salt must be LONG too, or cogroup
+    hash-partitions the two sides differently (int 0 and long 0 hash
+    apart) and every unaligned group returns all-False verdicts. AQE
+    partition coalescing masked this for narrow probes at tiny SF —
+    disable it and probe with a WIDE frame across many partitions."""
+    from dablooms_spark.operators.sharded import (
+        build_sharded_counting_bloom,
+        sharded_bloom_probe,
+    )
+
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    old = spark.conf.get(coalesce_key, "true")
+    spark.conf.set(coalesce_key, "false")
+    try:
+        rows = _rows(spark, n=20_000).withColumn("pad", F.expr("repeat('x', 64)"))
+        dim = rows.filter("id % 5 = 0")
+        expect = 20_000 // 5
+
+        layers = build_sharded_scaling_layers(
+            dim, "k", "id", capacity=CAP, error_rate=EPS, num_shards=SHARDS
+        )
+        got = (
+            sharded_scaling_probe(rows, "k", layers, num_shards=SHARDS)
+            .filter("is_member")
+            .count()
+        )
+        assert got >= expect, f"false negatives: {expect - got}"
+        assert got <= expect * (1 + EPS * 2)
+
+        blobs = build_sharded_counting_bloom(
+            dim, "k", capacity=5_000, error_rate=0.01, num_shards=8
+        )
+        got_c = (
+            sharded_bloom_probe(rows, "k", blobs, num_shards=8)
+            .filter("is_member")
+            .count()
+        )
+        assert got_c >= expect, f"false negatives: {expect - got_c}"
+    finally:
+        spark.conf.set(coalesce_key, old)
+
+
+def test_build_plan_is_piece_only(spark):
+    """The build's only Exchange moves pieces, never rows: the row
+    side of the plan is scan -> project -> python map; no Sort
+    anywhere (fixed boundaries need no ordering)."""
+    rows = _rows(spark, n=2_000)
+    layers = build_sharded_scaling_layers(
+        rows, "k", "id", capacity=CAP, error_rate=EPS, num_shards=SHARDS
+    )
+    plan = layers._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    # the only Sort sits ABOVE the piece exchange (applyInPandas
+    # grouping over piece rows); the row side below the exchange —
+    # scan -> project -> MapInArrow — is sort-free
+    below_exchange = plan.split("Exchange", 1)[1]
+    assert "MapInArrow" in below_exchange, plan
+    assert "Sort" not in below_exchange, plan

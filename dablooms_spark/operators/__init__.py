@@ -31,6 +31,7 @@ from dablooms_spark.operators.sharded import (
 from dablooms_spark.operators.sharded_scaling import (
     build_sharded_scaling_layers,
     sharded_scaling_probe,
+    sharded_scaling_remove,
     sharded_scaling_semi_join,
 )
 from dablooms_spark.operators.sketch_agg import (
@@ -111,6 +112,7 @@ __all__ = [
     "sharded_semi_join",
     "build_sharded_scaling_layers",
     "sharded_scaling_probe",
+    "sharded_scaling_remove",
     "sharded_scaling_semi_join",
     "bloom_remove",
     "bloom_remove_distributed",

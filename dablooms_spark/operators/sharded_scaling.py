@@ -79,23 +79,19 @@ def _layer_geom(
     return g
 
 
-def build_sharded_scaling_layers(
+def _pieces_df(
     df: DataFrame,
     key_col: str,
     id_col: str,
     capacity: int,
     error_rate: float,
-    num_shards: int = 16,
-    seed: int = DABLOOMS_SEED,
+    num_shards: int,
+    seed: int,
 ) -> DataFrame:
-    """DataFrame(shard, first_id, layer_eps, capacity, max_id, sb_eps,
-    blob, n): one counting-bloom layer per (shard, id window). Rows
-    never shuffle: stage 1 hashes keys zero-copy and emits one
-    gap-coded sparse piece per (partition, shard, touched layer);
-    stage 2 — the only exchange, pieces not rows — counter-sums per
-    (shard, layer). Shard routing is the same JVM-side expression the
-    probe uses (`pmod(xxhash64(key), S)`)."""
-    from dablooms_spark.core.codec import delta_decode, delta_encode
+    """Map-only stage shared by build and remove: hash keys zero-copy
+    and emit one gap-coded sparse counter piece per (input partition,
+    shard, touched layer). No row movement."""
+    from dablooms_spark.core.codec import delta_encode
 
     width = max(capacity - 1, 1) * num_shards
     geom_cache: dict[int, BloomGeometry] = {}
@@ -161,7 +157,31 @@ def build_sharded_scaling_layers(
             ),
         )
 
-    pieces = sdf.mapInArrow(piece_stage, schema=_PIECE_SCHEMA)
+    return sdf.mapInArrow(piece_stage, schema=_PIECE_SCHEMA)
+
+
+def build_sharded_scaling_layers(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    capacity: int,
+    error_rate: float,
+    num_shards: int = 16,
+    seed: int = DABLOOMS_SEED,
+) -> DataFrame:
+    """DataFrame(shard, first_id, layer_eps, capacity, max_id, sb_eps,
+    blob, n): one counting-bloom layer per (shard, id window). Rows
+    never shuffle: stage 1 (_pieces_df) hashes keys zero-copy and
+    emits one gap-coded sparse piece per (partition, shard, touched
+    layer); stage 2 — the only exchange, pieces not rows —
+    counter-sums per (shard, layer). Shard routing is the same
+    JVM-side expression the probe uses (`pmod(xxhash64(key), S)`)."""
+    from dablooms_spark.core.codec import delta_decode
+
+    width = max(capacity - 1, 1) * num_shards
+    geom_cache: dict[int, BloomGeometry] = {}
+    pieces = _pieces_df(df, key_col, id_col, capacity, error_rate,
+                        num_shards, seed)
 
     def merge_layer(pdf: pd.DataFrame) -> pd.DataFrame:
         s = int(pdf["shard"].iloc[0])
@@ -266,6 +286,90 @@ def sharded_scaling_probe(
         p.groupBy("__shard", "__salt")
         .cogroup(b.groupBy("__shard", "__salt"))
         .applyInPandas(probe_group, schema=out_schema)
+    )
+
+
+def sharded_scaling_remove(
+    layers_df: DataFrame,
+    deletions: DataFrame,
+    key_col: str,
+    id_col: str,
+    capacity: int,
+    error_rate: float,
+    num_shards: int = 16,
+    seed: int = DABLOOMS_SEED,
+) -> DataFrame:
+    """Counter-decrement deletions against a sharded scaling filter,
+    fully in the cluster — reference semantics counting_bloom_remove
+    (src/dablooms.c ≈L220) at the sharded topology. Returns the new
+    layer-rows DataFrame; no blob ever visits the driver.
+
+    Deletions run the SAME map-only piece stage as the build (the
+    deletion's id routes it to the layer that owned its insertion,
+    dablooms' id model), then each (shard, layer) cogroup subtracts
+    counter-wise with a floor at zero. capacity/error_rate/num_shards
+    must match the build's (validated against the layer rows). A
+    deletion whose (shard, layer) has no layer row targets a key never
+    inserted there and is dropped, mirroring the non-strict decrement
+    floor. The count n decreases by the deletions applied (floored at
+    zero). Saturated counters carry the reference's documented
+    remove-after-saturation hazard, exactly as in the driver-side
+    path."""
+    from dablooms_spark.core.codec import delta_decode
+
+    width = max(capacity - 1, 1) * num_shards
+    geom_cache: dict[int, BloomGeometry] = {}
+    pieces = _pieces_df(deletions, key_col, id_col, capacity, error_rate,
+                        num_shards, seed)
+    # align pieces to the layer rows' key space
+    pieces = pieces.withColumn(
+        "first_id", F.col("layer") * F.lit(width)
+    ).drop("layer")
+
+    out_fields = [
+        "shard", "first_id", "layer_eps", "capacity", "max_id", "sb_eps",
+        "blob", "n",
+    ]
+
+    def apply_deletions(keys, layer_pdf: pd.DataFrame, piece_pdf: pd.DataFrame) -> pd.DataFrame:
+        if layer_pdf.empty:
+            # deletions for keys never inserted here: dropped (floor)
+            return pd.DataFrame(columns=out_fields)
+        row = layer_pdf.iloc[0]
+        if int(row["capacity"]) != capacity or float(row["sb_eps"]) != error_rate:
+            raise ValueError(
+                "geometry drift: layer rows were built with "
+                f"capacity={row['capacity']}, error_rate={row['sb_eps']}"
+            )
+        if piece_pdf.empty:
+            return layer_pdf[out_fields]
+        cb = CountingBloom.from_bytes(bytes(row["blob"]), seed=seed)
+        acc = np.zeros(cb.geometry.size, dtype=np.int32)
+        removed = 0
+        for gap_bytes, exc_bytes, val_bytes in zip(
+            piece_pdf.idx, piece_pdf.exc, piece_pdf.vals
+        ):
+            idx = delta_decode(gap_bytes, exc_bytes)
+            np.add.at(
+                acc, idx, np.frombuffer(val_bytes, dtype=np.uint8).astype(np.int32)
+            )
+        removed = int(piece_pdf.n.sum())
+        np.clip(acc, 0, 15, out=acc)
+        dl = CountingBloom(
+            cb.geometry.capacity, cb.geometry.error_rate,
+            first_id=cb.first_id, seed=seed,
+            _counters=acc.astype(np.uint8), _count=removed,
+        )
+        cb = cb.subtract(dl)
+        new = layer_pdf.iloc[[0]].copy()
+        new["blob"] = [cb.to_bytes()]
+        new["n"] = [max(int(row["n"]) - removed, 0)]
+        return new[out_fields]
+
+    return (
+        layers_df.groupBy("shard", "first_id")
+        .cogroup(pieces.groupBy("shard", "first_id"))
+        .applyInPandas(apply_deletions, schema=_ROW_SCHEMA)
     )
 
 

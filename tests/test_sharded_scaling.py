@@ -144,6 +144,54 @@ def test_wide_probe_multi_partition_group_alignment(spark):
         spark.conf.set(coalesce_key, old)
 
 
+def test_sharded_scaling_remove(spark):
+    """Distributed decrement: removed keys go definitively absent
+    (modulo FP), survivors keep the no-false-negative guarantee, and
+    removing EVERYTHING zeroes every counter bit-exactly (counters
+    stayed under saturation at this load)."""
+    import numpy as np
+
+    from dablooms_spark.core.counting_bloom import CountingBloom
+    from dablooms_spark.operators.sharded_scaling import sharded_scaling_remove
+
+    rows = _rows(spark, n=10_000)
+    layers = build_sharded_scaling_layers(
+        rows, "k", "id", capacity=CAP, error_rate=EPS, num_shards=SHARDS
+    ).cache()
+    layers.count()
+
+    gone = rows.filter("id % 4 = 0")
+    kept = rows.filter("id % 4 != 0")
+    after = sharded_scaling_remove(
+        layers, gone, "k", "id", capacity=CAP, error_rate=EPS,
+        num_shards=SHARDS,
+    ).cache()
+    # survivors: zero false negatives
+    still = sharded_scaling_probe(kept.select("k"), "k", after, num_shards=SHARDS)
+    assert still.filter("NOT is_member").count() == 0
+    # removed keys: absent up to the FP bound
+    ghost = (
+        sharded_scaling_probe(gone.select("k"), "k", after, num_shards=SHARDS)
+        .filter("is_member")
+        .count()
+    )
+    assert ghost <= gone.count() * EPS * 1.5
+    # counts decremented
+    assert after.agg(F.sum("n")).collect()[0][0] == kept.count()
+
+    # full removal zeroes every counter
+    empty = sharded_scaling_remove(
+        after, kept, "k", "id", capacity=CAP, error_rate=EPS,
+        num_shards=SHARDS,
+    )
+    for r in empty.collect():
+        cb = CountingBloom.from_bytes(bytes(r["blob"]))
+        assert not np.any(cb.counters), "counters not zeroed"
+        assert r["n"] == 0
+    layers.unpersist()
+    after.unpersist()
+
+
 def test_build_plan_is_piece_only(spark):
     """The build's only Exchange moves pieces, never rows: the row
     side of the plan is scan -> project -> python map; no Sort

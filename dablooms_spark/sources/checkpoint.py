@@ -123,6 +123,16 @@ class CheckpointManager:
         if manifest is None:
             return None
         df = self.load_blobs(spark, manifest)
+        if "shard" in df.columns and "first_id" in df.columns:
+            # sharded scaling layers: per-shard filters that are MEANT
+            # to stay a DataFrame (probe via sharded_scaling_probe) —
+            # assembling them into one ScalingBloom would interleave
+            # unrelated shards' layers
+            raise ValueError(
+                "checkpoint holds SHARDED scaling layers; use "
+                "load_blobs() and probe with sharded_scaling_probe "
+                "instead of materializing one driver-side filter"
+            )
         if "first_id" in df.columns:
             # layer-row artifact: per-layer geometries differ by design,
             # so reassembly is positional, not a blob merge

@@ -192,6 +192,28 @@ def test_sharded_scaling_remove(spark):
     after.unpersist()
 
 
+def test_checkpoint_roundtrip_sharded_layers(spark, tmp_path):
+    """Sharded layers commit/restore through the checkpoint protocol
+    as a DataFrame; the one-filter restore path refuses them (they are
+    per-shard filters, not layers of one filter)."""
+    import pytest as _pytest
+
+    from dablooms_spark.sources.checkpoint import CheckpointManager
+
+    rows = _rows(spark, n=5_000)
+    layers = build_sharded_scaling_layers(
+        rows, "k", "id", capacity=CAP, error_rate=EPS, num_shards=SHARDS
+    )
+    mgr = CheckpointManager(str(tmp_path / "ck"))
+    seq = mgr.commit(layers, "run", "sharded-scaling")
+    m = mgr.manifest(seq)
+    restored = mgr.load_blobs(spark, m)
+    res = sharded_scaling_probe(rows.select("k"), "k", restored, num_shards=SHARDS)
+    assert res.filter("NOT is_member").count() == 0
+    with _pytest.raises(ValueError, match="SHARDED scaling layers"):
+        mgr.restore_sketch(spark, m)
+
+
 def test_build_plan_is_piece_only(spark):
     """The build's only Exchange moves pieces, never rows: the row
     side of the plan is scan -> project -> python map; no Sort

@@ -67,6 +67,7 @@ from dablooms_spark.operators.textops import (
 )
 from dablooms_spark.operators.ingest import (
     incremental_ingest,
+    incremental_ingest_scaling,
     restore_filter,
 )
 from dablooms_spark.operators.urlops import (
@@ -140,6 +141,7 @@ __all__ = [
     "with_repetition_scores",
     "shingle_hashes",
     "incremental_ingest",
+    "incremental_ingest_scaling",
     "restore_filter",
     "canonicalize_url",
     "host_counts",

@@ -669,6 +669,15 @@ def scaling_layers_df(blob_df: DataFrame, seed: int = DABLOOMS_SEED) -> DataFram
                 )
 
     layers = blob_df.mapInArrow(explode_layers, schema=_LAYER_SCHEMA)
+    return merge_layer_rows(layers, seed)
+
+
+def merge_layer_rows(layers_df: DataFrame, seed: int = DABLOOMS_SEED) -> DataFrame:
+    """Counter-sum colliding (first_id, layer_eps) layer rows — the
+    merge step for any union of layer-row DataFrames: resumed builds
+    over overlapping id ranges, or an ingest batch unioned with the
+    prior checkpoint. Id-disjoint layers pass through untouched; the
+    whole merge is one parallel groupBy, no driver traffic."""
 
     def merge_layer_group(pdf):
         import pandas as pd
@@ -690,7 +699,7 @@ def scaling_layers_df(blob_df: DataFrame, seed: int = DABLOOMS_SEED) -> DataFram
             }
         )
 
-    return layers.groupBy("first_id", "layer_eps").applyInPandas(
+    return layers_df.groupBy("first_id", "layer_eps").applyInPandas(
         merge_layer_group, schema=_LAYER_SCHEMA
     )
 

@@ -53,7 +53,14 @@ def restore_filter(
     manifest = mgr.latest(run_id)
     if manifest is None:
         return None, None
-    rows = mgr.load_blobs(spark, manifest).select("blob").collect()
+    df = mgr.load_blobs(spark, manifest)
+    if "first_id" in df.columns:
+        # scaling ingest artifact: layer rows reassemble positionally
+        from dablooms_spark.operators.bloom_build import assemble_scaling_bloom
+
+        rows = df.collect()
+        return (assemble_scaling_bloom(rows, seed) if rows else None), manifest
+    rows = df.select("blob").collect()
     if not rows:
         return None, manifest
     filt = loads(bytes(rows[0].blob), seed=seed)
@@ -126,6 +133,89 @@ def incremental_ingest(
             "parent_seqnum": manifest["seqnum"] if manifest else None,
             "batch_tag": batch_tag,
             "key_col": key_col,
+            "capacity": capacity,
+            "error_rate": error_rate,
+        },
+    )
+    return new_rows, seq
+
+
+def incremental_ingest_scaling(
+    batch_df: DataFrame,
+    key_col: str,
+    id_col: str,
+    checkpoint_path: str,
+    run_id: str,
+    capacity: int,
+    error_rate: float,
+    seed: int = DABLOOMS_SEED,
+    exact_seen_df: DataFrame | None = None,
+    exact_key: str | None = None,
+    batch_tag: str | None = None,
+) -> tuple[DataFrame, int]:
+    """The scaling-filter ingest loop: dablooms' unbounded-stream
+    model across successive batches. Each batch carries fresh unique
+    ids (the reference's monotone insertion sequence continuing across
+    days); fixed id-value boundaries mean a new batch's layers are
+    id-disjoint from the checkpoint's, so the filter update is a
+    UNION of layer rows plus one parallel collide-merge
+    (merge_layer_rows) — the artifact grows by appending layers
+    exactly like scaling_bloom_add growing at capacity, and the commit
+    stays one task per layer at any history length.
+
+    Returns (new_rows, committed_seqnum) with the same split
+    semantics/guarantees as incremental_ingest. The split probes a
+    driver-assembled copy of the prior filter (broadcast probe); for
+    filters beyond broadcast size, build with
+    build_sharded_scaling_layers and split with sharded_scaling_probe
+    instead."""
+    from dablooms_spark.operators.bloom_build import (
+        assemble_scaling_bloom,
+        merge_layer_rows,
+        scaling_bloom_fixed_partials,
+    )
+
+    spark = batch_df.sparkSession
+    mgr = CheckpointManager(checkpoint_path)
+    manifest = mgr.latest(run_id)
+
+    prior_layers = None
+    if manifest is not None:
+        lin = manifest.get("lineage", {})
+        if lin and (lin.get("capacity"), lin.get("error_rate")) != (
+            capacity, error_rate,
+        ):
+            raise ValueError(
+                "geometry drift: checkpoint was built with "
+                f"capacity={lin.get('capacity')}, "
+                f"error_rate={lin.get('error_rate')}"
+            )
+        prior_layers = mgr.load_blobs(spark, manifest)
+        prior = assemble_scaling_bloom(prior_layers.collect(), seed)
+        new_rows = bloom_anti_join(
+            batch_df, key_col, prior, exact_df=exact_seen_df, exact_key=exact_key
+        )
+    else:
+        new_rows = batch_df
+
+    batch_layers = scaling_bloom_fixed_partials(
+        batch_df, key_col, id_col, capacity, error_rate, seed
+    )
+    all_layers = (
+        batch_layers
+        if prior_layers is None
+        else batch_layers.unionByName(prior_layers)
+    )
+    merged = merge_layer_rows(all_layers, seed)
+    seq = mgr.commit(
+        merged,
+        run_id,
+        stage="ingest-scaling",
+        lineage={
+            "parent_seqnum": manifest["seqnum"] if manifest else None,
+            "batch_tag": batch_tag,
+            "key_col": key_col,
+            "id_col": id_col,
             "capacity": capacity,
             "error_rate": error_rate,
         },

@@ -71,6 +71,76 @@ def test_incremental_ingest_geometry_drift_raises(spark, tmp_path):
         incremental_ingest(b2, "key", path, "run", 2000, 0.01)
 
 
+def test_incremental_ingest_scaling(spark, tmp_path):
+    """Scaling ingest: layer rows append across batches; the committed
+    filter is bit-identical to a one-shot dense build over every
+    batch, and the split is exact with a seen-dim."""
+    from pyspark.sql import functions as F
+
+    from dablooms_spark.operators.bloom_build import build_scaling_bloom
+    from dablooms_spark.operators.ingest import (
+        incremental_ingest_scaling,
+        restore_filter,
+    )
+    from dablooms_spark.sources.checkpoint import CheckpointManager
+    from dablooms_spark.operators.bloom_build import assemble_scaling_bloom
+
+    path = str(tmp_path / "ck")
+    # unique ids 0..8999; keys repeat mod 6000 so batch 2's lower half
+    # re-sends batch-1 keys under NEW ids (the reference's add-again)
+    all_rows = spark.range(0, 9_000).select(
+        F.concat(F.lit("k"), (F.col("id") % 6_000)).alias("key"),
+        F.col("id").alias("id"),
+    )
+    batches = [
+        all_rows.filter(f"id >= {lo} AND id < {hi}")
+        for lo, hi in [(0, 3_000), (3_000, 6_000), (6_000, 9_000)]
+    ]
+    seen = None
+    for i, b in enumerate(batches):
+        new_rows, seq = incremental_ingest_scaling(
+            b, "key", "id", path, "run", capacity=1_000, error_rate=0.02,
+            exact_seen_df=seen, exact_key="key", batch_tag=f"b{i}",
+        )
+        n_new = new_rows.count()
+        if i == 0:
+            assert n_new == 3_000
+        elif i == 1:
+            assert n_new == 3_000  # ids 3000..5999 -> keys k3000..k5999, all new
+        else:
+            assert n_new == 0  # ids 6000..8999 -> keys k0..k2999, all seen
+        seen = b if seen is None else seen.unionByName(b)
+
+    mgr = CheckpointManager(path)
+    restored = assemble_scaling_bloom(
+        mgr.load_blobs(spark, mgr.latest("run")).collect()
+    )
+    oneshot = build_scaling_bloom(
+        all_rows, "key", "id", capacity=1_000, error_rate=0.02,
+        id_layout="dense",
+    )
+    assert restored.to_bytes() == oneshot.to_bytes()
+    # restore_filter handles layer-row artifacts too
+    filt, manifest = restore_filter(spark, path, "run")
+    assert manifest["lineage"]["batch_tag"] == "b2"
+    assert filt.to_bytes() == oneshot.to_bytes()
+
+
+def test_incremental_ingest_scaling_geometry_drift(spark, tmp_path):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from dablooms_spark.operators.ingest import incremental_ingest_scaling
+
+    path = str(tmp_path / "ck")
+    b = spark.range(100).select(
+        F.concat(F.lit("k"), F.col("id")).alias("key"), F.col("id").alias("id")
+    )
+    incremental_ingest_scaling(b, "key", "id", path, "run", 500, 0.02)
+    with _pytest.raises(ValueError, match="geometry drift"):
+        incremental_ingest_scaling(b, "key", "id", path, "run", 600, 0.02)
+
+
 def test_incremental_ingest_manifest_metadata(spark, tmp_path):
     path = str(tmp_path / "ck")
     b1, _, _ = _batches(spark)

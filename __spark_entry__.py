@@ -1197,7 +1197,7 @@ def oracle_sql() -> dict[str, str]:
                        regexp_extract(url,
                            '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)
                            AS rawpath,
-                       regexp_extract(url, '\?([^#]*)', 1) AS rawq
+                       regexp_extract(url, '^[^#?]*\?([^#]*)', 1) AS rawq
                 FROM u),
             h AS (
                 SELECT doc_id, url, scheme,

@@ -288,7 +288,10 @@ class CountingBloom:
         self._strict_check(cur)
         np.clip(cur, 0, 15, out=cur)
         self.counters = cur.astype(np.uint8)
-        self.count -= other.count
+        # floor at 0: over-removal (deleting never-inserted keys) must
+        # not drive the count negative — a negative count cannot even
+        # serialize (u64 header field)
+        self.count = max(self.count - other.count, 0)
         return self
 
     def merge(self, other: "CountingBloom") -> "CountingBloom":

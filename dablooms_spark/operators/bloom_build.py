@@ -525,6 +525,14 @@ def scaling_bloom_fixed_partials(
             ids = batch.column(1).to_numpy(zero_copy_only=False).astype(np.int64)
             if len(ids) == 0:
                 continue
+            if ids.min() < 0:
+                # layer = id // width needs non-negative ids (layer -1
+                # would divide the ε schedule by zero); refusing beats
+                # silently dropping, which would false-negative
+                raise ValueError(
+                    "fixed-boundary layout requires non-negative ids; "
+                    f"got {int(ids.min())}"
+                )
             buf, offs, lens = arrow_byte_view(batch.column(0))
             h1, h2 = dablooms_hash_words_buffer(buf, offs, lens, seed)
             tgt = ids // width

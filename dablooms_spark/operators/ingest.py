@@ -54,6 +54,15 @@ def restore_filter(
     if manifest is None:
         return None, None
     df = mgr.load_blobs(spark, manifest)
+    if "shard" in df.columns and "first_id" in df.columns:
+        # sharded scaling layers are per-shard filters meant to stay a
+        # DataFrame — assembling them into one filter would interleave
+        # unrelated shards' layers and compound FP across shards
+        raise ValueError(
+            "checkpoint holds SHARDED scaling layers; load them with "
+            "CheckpointManager.load_blobs and probe with "
+            "sharded_scaling_probe"
+        )
     if "first_id" in df.columns:
         # scaling ingest artifact: layer rows reassemble positionally
         from dablooms_spark.operators.bloom_build import assemble_scaling_bloom
@@ -105,11 +114,16 @@ def incremental_ingest(
                 f"{type(prior).__name__} at {checkpoint_path}"
             )
         new_rows = bloom_anti_join(
-            batch_df, key_col, prior, exact_df=exact_seen_df, exact_key=exact_key
+            batch_df, key_col, prior,
+            exact_df=exact_seen_df, exact_key=exact_key, seed=seed,
         )
 
     # update side: batch partials ∪ prior blob → one merged row
     partials = counting_bloom_partials(batch_df, key_col, capacity, error_rate, seed)
+    # size the merge tree without a count() action (merge_blobs_df
+    # would otherwise materialize the partials stage twice): partials
+    # emit at most one blob per input partition, plus the prior row
+    n_blobs = batch_df.rdd.getNumPartitions() + 1
     if prior is not None:
         g = prior.geometry
         if (g.capacity, g.error_rate) != (capacity, error_rate):
@@ -122,7 +136,7 @@ def incremental_ingest(
             "shard long, blob binary, n long",
         )
         partials = partials.unionByName(prior_row)
-    merged = merge_blobs_df(partials, seed=seed)
+    merged = merge_blobs_df(partials, seed=seed, num_blobs=n_blobs)
 
     mgr = CheckpointManager(checkpoint_path)
     seq = mgr.commit(
@@ -191,9 +205,16 @@ def incremental_ingest_scaling(
                 f"error_rate={lin.get('error_rate')}"
             )
         prior_layers = mgr.load_blobs(spark, manifest)
+        if "first_id" not in prior_layers.columns:
+            raise TypeError(
+                "incremental_ingest_scaling checkpoints layer rows; "
+                f"found a counting-bloom artifact at {checkpoint_path} "
+                "(use incremental_ingest for that run)"
+            )
         prior = assemble_scaling_bloom(prior_layers.collect(), seed)
         new_rows = bloom_anti_join(
-            batch_df, key_col, prior, exact_df=exact_seen_df, exact_key=exact_key
+            batch_df, key_col, prior,
+            exact_df=exact_seen_df, exact_key=exact_key, seed=seed,
         )
     else:
         new_rows = batch_df

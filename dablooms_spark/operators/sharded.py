@@ -131,8 +131,15 @@ def sharded_bloom_probe(
     No false negatives; FPs ≤ the per-shard bound.
     """
     key = F.col(key_col).cast("string")
-    p = probe_df.withColumn("__shard", _shard_expr(key, num_shards)).withColumn(
-        "__salt", F.pmod(F.xxhash64(key, F.lit(_SHARD_SEED + 1)), F.lit(salt))
+    # __key_str is the JVM CAST(key AS STRING) — the exact bytes the
+    # build hashed; re-rendering python-side (astype(str)) can differ
+    # for doubles/decimals and would false-negative
+    p = (
+        probe_df.withColumn("__key_str", key)
+        .withColumn("__shard", _shard_expr(key, num_shards))
+        .withColumn(
+            "__salt", F.pmod(F.xxhash64(key, F.lit(_SHARD_SEED + 1)), F.lit(salt))
+        )
     )
     # __salt MUST be long on both sides: cogroup hash-partitions each
     # side independently and int 0 / long 0 hash to different shuffle
@@ -159,16 +166,15 @@ def sharded_bloom_probe(
             # shard holds no keys: every probe is a definite negative
             return out.assign(**{out_col: False})
         cb = CountingBloom.from_bytes(bytes(blob_pdf.blob.iloc[0]), seed=seed)
-        arr = pa.array(
-            probe_pdf[key_col].astype(str), type=pa.large_string()
-        )
+        keys_str = probe_pdf["__key_str"]
+        arr = pa.array(keys_str.astype(str), type=pa.large_string())
         buf, offs, lens = arrow_byte_view(arr)
         h1, h2 = dablooms_hash_words_buffer(buf, offs, lens, seed)
         verdict = cb.check_hashed(h1, h2)
         # a NULL key is a definite non-member — astype(str) renders it
         # as the literal 'None'/'nan', which must not alias a real key
         # (mirrors _check_arrow's null handling in bloom_probe)
-        nulls = probe_pdf[key_col].isna().to_numpy()
+        nulls = keys_str.isna().to_numpy()
         if nulls.any():
             verdict &= ~nulls
         return out.assign(**{out_col: verdict})

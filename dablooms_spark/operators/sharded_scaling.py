@@ -111,6 +111,14 @@ def _pieces_df(
             ids = batch.column(1).to_numpy(zero_copy_only=False).astype(np.int64)
             if len(ids) == 0:
                 continue
+            if ids.min() < 0:
+                # a negative id would corrupt the shard/layer composite
+                # encoding AND the fixed-boundary layer math; refusing
+                # beats silently dropping (a drop would false-negative)
+                raise ValueError(
+                    "fixed-boundary layout requires non-negative ids; "
+                    f"got {int(ids.min())}"
+                )
             shards = batch.column(2).to_numpy(zero_copy_only=False).astype(np.int64)
             buf, offs, lens = arrow_byte_view(batch.column(0))
             h1, h2 = dablooms_hash_words_buffer(buf, offs, lens, seed)
@@ -235,8 +243,15 @@ def sharded_scaling_probe(
     (src/dablooms.c ≈L238 family). No false negatives; FPs ≤ the
     compound Σ layer budgets ≤ sb_eps."""
     key = F.col(key_col).cast("string")
-    p = probe_df.withColumn("__shard", _shard_expr(key, num_shards)).withColumn(
-        "__salt", F.pmod(F.xxhash64(key, F.lit(_SHARD_SEED + 1)), F.lit(salt))
+    # __key_str is the JVM CAST(key AS STRING) — the exact bytes the
+    # build hashed; re-rendering python-side (astype(str)) can differ
+    # for doubles/decimals and would false-negative
+    p = (
+        probe_df.withColumn("__key_str", key)
+        .withColumn("__shard", _shard_expr(key, num_shards))
+        .withColumn(
+            "__salt", F.pmod(F.xxhash64(key, F.lit(_SHARD_SEED + 1)), F.lit(salt))
+        )
     )
     # __salt MUST be long on both sides: the probe side's pmod(xxhash64)
     # is long, and cogroup hash-partitions each side independently —
@@ -263,7 +278,8 @@ def sharded_scaling_probe(
         out = probe_pdf[in_cols]
         if layer_pdf.empty:
             return out.assign(**{out_col: False})
-        arr = pa.array(probe_pdf[key_col].astype(str), type=pa.large_string())
+        keys_str = probe_pdf["__key_str"]
+        arr = pa.array(keys_str.astype(str), type=pa.large_string())
         buf, offs, lens = arrow_byte_view(arr)
         h1, h2 = dablooms_hash_words_buffer(buf, offs, lens, seed)
         verdict = np.zeros(len(probe_pdf), dtype=bool)
@@ -277,7 +293,7 @@ def sharded_scaling_probe(
             hit = cb.check_hashed(h1[idx], h2[idx])
             verdict[idx[hit]] = True
             unknown[idx[hit]] = False
-        nulls = probe_pdf[key_col].isna().to_numpy()
+        nulls = keys_str.isna().to_numpy()
         if nulls.any():
             verdict &= ~nulls
         return out.assign(**{out_col: verdict})
@@ -361,9 +377,10 @@ def sharded_scaling_remove(
             _counters=acc.astype(np.uint8), _count=removed,
         )
         cb = cb.subtract(dl)
+        cb.count = max(int(row["n"]) - removed, 0)
         new = layer_pdf.iloc[[0]].copy()
         new["blob"] = [cb.to_bytes()]
-        new["n"] = [max(int(row["n"]) - removed, 0)]
+        new["n"] = [cb.count]
         return new[out_fields]
 
     return (

@@ -36,7 +36,9 @@ from pyspark.sql import functions as F
 _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
 _AUTHORITY_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
 _PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
-_QUERY_RE = r"\?([^#]*)"
+# the '?' must precede any '#': a '?' inside the fragment is NOT a
+# query ('https://ex.com/a#/route?tab=1' has no query)
+_QUERY_RE = r"^[^#?]*\?([^#]*)"
 _HOST_IN_AUTH_RE = r"^(?:[^@]*@)?([^:]*)"
 _PORT_IN_AUTH_RE = r":([0-9]+)$"
 _REG_DOMAIN_RE = r"([^.]+\.[^.]+)$"

@@ -63,6 +63,21 @@ def test_incremental_ingest_no_false_negatives_without_exact(spark, tmp_path):
     assert not (reported_new & truly_seen)
 
 
+def test_incremental_ingest_custom_seed(spark, tmp_path):
+    """Regression: the probe must hash with the SAME seed the filter
+    was built with — a dropped seed makes membership answers random
+    and previously-seen keys leak into new_rows."""
+    path = str(tmp_path / "ck")
+    b1, b2, _ = _batches(spark)
+    incremental_ingest(b1, "key", path, "run", 1000, 0.01, seed=123)
+    n2, _ = incremental_ingest(b2, "key", path, "run", 1000, 0.01, seed=123)
+    reported_new = {r["key"] for r in n2.collect()}
+    truly_seen = {f"k{i}" for i in range(50, 100)}
+    assert not (reported_new & truly_seen)
+    # and the truly-new keys actually surface (bloom isn't garbage)
+    assert len(reported_new) >= 49
+
+
 def test_incremental_ingest_geometry_drift_raises(spark, tmp_path):
     path = str(tmp_path / "ck")
     b1, b2, _ = _batches(spark)

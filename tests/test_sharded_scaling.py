@@ -192,6 +192,38 @@ def test_sharded_scaling_remove(spark):
     after.unpersist()
 
 
+def test_double_typed_keys_no_false_negatives(spark):
+    """Regression: the probe must hash the JVM CAST(key AS STRING)
+    bytes, not a pandas astype(str) re-rendering — doubles like 1e20
+    render '1.0E20' JVM-side but '1e+20' in python, which would
+    false-negative every inserted key of such a column."""
+    from dablooms_spark.operators.sharded import (
+        build_sharded_counting_bloom,
+        sharded_bloom_probe,
+    )
+
+    rows = spark.range(1, 2_000).select(
+        (F.col("id").cast("double") * 1e18).alias("k"),
+        F.col("id").alias("id"),
+    )
+    layers = build_sharded_scaling_layers(
+        rows, "k", "id", capacity=CAP, error_rate=EPS, num_shards=SHARDS
+    )
+    fn = (
+        sharded_scaling_probe(rows, "k", layers, num_shards=SHARDS)
+        .filter("NOT is_member")
+        .count()
+    )
+    assert fn == 0
+    blobs = build_sharded_counting_bloom(rows, "k", capacity=4_000, error_rate=0.01)
+    fn_c = (
+        sharded_bloom_probe(rows, "k", blobs)
+        .filter("NOT is_member")
+        .count()
+    )
+    assert fn_c == 0
+
+
 def test_checkpoint_roundtrip_sharded_layers(spark, tmp_path):
     """Sharded layers commit/restore through the checkpoint protocol
     as a DataFrame; the one-filter restore path refuses them (they are

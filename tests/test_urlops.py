@@ -50,6 +50,14 @@ CASES = [
         "example.com",
         "/a/b/c",
     ),
+    # a '?' INSIDE the fragment is not a query (SPA-style routes)
+    (
+        "https://example.com/a#/route?tab=1",
+        "https://example.com/a",
+        "example.com",
+        "example.com",
+        "/a",
+    ),
 ]
 
 

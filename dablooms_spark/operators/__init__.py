@@ -26,6 +26,7 @@ from dablooms_spark.operators.graph import connected_components, dedup_clusters
 from dablooms_spark.operators.sharded import (
     build_sharded_counting_bloom,
     sharded_bloom_probe,
+    sharded_bloom_remove,
     sharded_semi_join,
 )
 from dablooms_spark.operators.sharded_scaling import (
@@ -110,6 +111,7 @@ __all__ = [
     "dedup_clusters",
     "build_sharded_counting_bloom",
     "sharded_bloom_probe",
+    "sharded_bloom_remove",
     "sharded_semi_join",
     "build_sharded_scaling_layers",
     "sharded_scaling_probe",

@@ -114,6 +114,53 @@ def build_sharded_counting_bloom(
     )
 
 
+def sharded_bloom_remove(
+    blobs_df: DataFrame,
+    deletions: DataFrame,
+    key_col: str,
+    capacity: int,
+    error_rate: float,
+    num_shards: int = 64,
+    seed: int = DABLOOMS_SEED,
+) -> DataFrame:
+    """Counter-decrement deletions against a sharded counting filter,
+    fully in the cluster — counting_bloom_remove (src/dablooms.c
+    ≈L220) at the sharded topology. Returns the new (shard, blob, n)
+    DataFrame; no blob ever visits the driver.
+
+    Deletions run the SAME build pipeline (per-shard deletion-count
+    filters, blob-only shuffle), then each shard cogroup subtracts
+    counter-wise, floored at zero. capacity/error_rate/num_shards/seed
+    must match the build's — sharding and geometry are derived from
+    them. Over-removal (keys never inserted) floors, mirroring the
+    non-strict decrement."""
+    del_blobs = build_sharded_counting_bloom(
+        deletions, key_col, capacity, error_rate, num_shards, seed
+    )
+    cols = ["shard", "blob", "n"]
+
+    def apply_deletions(keys, blob_pdf: pd.DataFrame, del_pdf: pd.DataFrame) -> pd.DataFrame:
+        if blob_pdf.empty:
+            # deletions routed to a shard that holds no keys: floor
+            return pd.DataFrame(columns=cols)
+        if del_pdf.empty:
+            return blob_pdf[cols]
+        cb = CountingBloom.from_bytes(bytes(blob_pdf.blob.iloc[0]), seed=seed)
+        dl = CountingBloom.merge_blobs([bytes(b) for b in del_pdf.blob], seed=seed)
+        cb = cb.subtract(dl)
+        cb.count = max(int(blob_pdf.n.iloc[0]) - int(del_pdf.n.sum()), 0)
+        return pd.DataFrame(
+            {"shard": [int(blob_pdf.shard.iloc[0])], "blob": [cb.to_bytes()],
+             "n": [cb.count]}
+        )
+
+    return (
+        blobs_df.groupBy("shard")
+        .cogroup(del_blobs.groupBy("shard"))
+        .applyInPandas(apply_deletions, schema="shard long, blob binary, n long")
+    )
+
+
 def sharded_bloom_probe(
     probe_df: DataFrame,
     key_col: str,

@@ -262,3 +262,46 @@ def test_build_plan_is_piece_only(spark):
     below_exchange = plan.split("Exchange", 1)[1]
     assert "MapInArrow" in below_exchange, plan
     assert "Sort" not in below_exchange, plan
+
+
+def test_sharded_counting_remove(spark):
+    """Distributed decrement for the sharded COUNTING filter:
+    survivors keep zero false negatives, removed keys fall to the FP
+    bound, and full removal zeroes every counter."""
+    import numpy as np
+
+    from dablooms_spark.core.counting_bloom import CountingBloom
+    from dablooms_spark.operators.sharded import (
+        build_sharded_counting_bloom,
+        sharded_bloom_probe,
+        sharded_bloom_remove,
+    )
+
+    rows = _rows(spark, n=8_000)
+    blobs = build_sharded_counting_bloom(
+        rows, "k", capacity=16_000, error_rate=0.01, num_shards=8
+    ).cache()
+    blobs.count()
+    gone = rows.filter("id % 4 = 0")
+    kept = rows.filter("id % 4 != 0")
+    after = sharded_bloom_remove(
+        blobs, gone, "k", capacity=16_000, error_rate=0.01, num_shards=8
+    ).cache()
+    still = sharded_bloom_probe(kept.select("k"), "k", after, num_shards=8)
+    assert still.filter("NOT is_member").count() == 0
+    ghost = (
+        sharded_bloom_probe(gone.select("k"), "k", after, num_shards=8)
+        .filter("is_member")
+        .count()
+    )
+    assert ghost <= gone.count() * 0.01 * 2 + 5
+    assert after.agg(F.sum("n")).collect()[0][0] == kept.count()
+    empty = sharded_bloom_remove(
+        after, kept, "k", capacity=16_000, error_rate=0.01, num_shards=8
+    )
+    for r in empty.collect():
+        cb = CountingBloom.from_bytes(bytes(r["blob"]))
+        assert not np.any(cb.counters)
+        assert r["n"] == 0
+    blobs.unpersist()
+    after.unpersist()

@@ -272,7 +272,11 @@ def _auto_runtime_join(
             # filter; the probe side is never scanned for stats
             n_keys = dim_keys.distinct().count()
             blob_size = BloomGeometry(max(n_keys, 1), error_rate).size
-            strategy = "bloom" if blob_size <= bloom_blob_budget else "shuffle"
+            # one blob that fits the budget broadcasts (bloom); a key
+            # universe beyond it goes SHARDED — the filter stays a
+            # DataFrame, per-shard blobs each fit the budget, and the
+            # probe still sheds definite misses before the exact join
+            strategy = "bloom" if blob_size <= bloom_blob_budget else "sharded"
 
     cond = F.col(on) == F.col("__dk")
     dimsel = dim_keys.withColumnRenamed(dk, "__dk")
@@ -308,6 +312,42 @@ def _auto_runtime_join(
             probe_df, on, filt, exact_df=dim_df, exact_key=dk, seed=seed,
             key_cast=key_cast,
         )
+    elif strategy == "sharded":
+        from dablooms_spark.operators.sharded import (
+            build_sharded_counting_bloom,
+            sharded_anti_join,
+            sharded_semi_join,
+        )
+
+        if not bloom_safe:
+            raise ValueError(
+                f"sharded strategy is unsafe for key types "
+                f"{probe_df.schema[on].dataType.simpleString()} vs "
+                f"{dim_df.schema[dk].dataType.simpleString()}: natively-equal "
+                "values may render to different strings (false negatives). "
+                "Cast both keys to a common type first, or use "
+                "strategy='shuffle'."
+            )
+        if n_keys is None:
+            n_keys = dim_keys.distinct().count()
+        blob_size = BloomGeometry(max(n_keys, 1), error_rate).size
+        num_shards = max(16, -(-blob_size // max(bloom_blob_budget, 1)))
+        dim_key_expr = F.col(dk)
+        if key_cast is not None:
+            dim_key_expr = dim_key_expr.cast(key_cast)
+        blobs = build_sharded_counting_bloom(
+            dim_df.select(dim_key_expr.cast("string").alias(dk)),
+            dk,
+            capacity=max(n_keys, 1),
+            error_rate=error_rate,
+            num_shards=int(num_shards),
+            seed=seed,
+        )
+        join_fn = sharded_semi_join if how == "left_semi" else sharded_anti_join
+        out = join_fn(
+            probe_df, on, blobs, exact_df=dim_df, exact_key=dk,
+            num_shards=int(num_shards), seed=seed, key_cast=key_cast,
+        )
     elif strategy == "shuffle":
         out = probe_df.join(dimsel.distinct(), cond, how)
     else:
@@ -341,8 +381,12 @@ def auto_semi_join(
         nibble pair): build-probe-verify — the probe side sheds
         definite misses BEFORE the shuffle, and survivors are
         confirmed with an exact semi join (no false positives leak).
-      shuffle — dim's key universe too big for a useful filter:
-        plain shuffled semi join, AQE handles skew.
+      sharded — key universe too big for ONE filter blob: the filter
+        becomes a DataFrame of per-shard blobs (each under the
+        budget), probed by (shard, salt) cogroup; the probe side
+        still sheds definite misses before the exact join.
+      shuffle — key types render-unsafe for hashing: plain shuffled
+        semi join, AQE handles skew.
 
     The chosen strategy is recorded on the result as
     `df.auto_join_strategy` (alias `auto_semi_strategy`) so

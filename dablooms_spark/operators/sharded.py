@@ -169,6 +169,7 @@ def sharded_bloom_probe(
     salt: int = 8,
     seed: int = DABLOOMS_SEED,
     out_col: str = "is_member",
+    key_cast: str | None = None,
 ) -> DataFrame:
     """probe_df + a Boolean membership column, for a sharded filter.
 
@@ -176,8 +177,14 @@ def sharded_bloom_probe(
     blob side replicates `salt` ways so a hot shard splits across
     tasks and no task materializes more than ~rows/(S·salt) as pandas.
     No false negatives; FPs ≤ the per-shard bound.
+
+    `key_cast`: optional intermediate type applied BEFORE the string
+    cast — must match the build side's cast (see bloom_probe_column).
     """
-    key = F.col(key_col).cast("string")
+    key = F.col(key_col)
+    if key_cast is not None:
+        key = key.cast(key_cast)
+    key = key.cast("string")
     # __key_str is the JVM CAST(key AS STRING) — the exact bytes the
     # build hashed; re-rendering python-side (astype(str)) can differ
     # for doubles/decimals and would false-negative
@@ -242,12 +249,13 @@ def sharded_semi_join(
     num_shards: int = 64,
     salt: int = 8,
     seed: int = DABLOOMS_SEED,
+    key_cast: str | None = None,
 ) -> DataFrame:
     """Semi join against a sharded filter: bloom-prune (no false
     negatives), then optionally confirm survivors exactly — the
     bloom_semi_join contract at filter sizes broadcast can't reach."""
     out = sharded_bloom_probe(
-        probe_df, key_col, blobs_df, num_shards, salt, seed, "__hit"
+        probe_df, key_col, blobs_df, num_shards, salt, seed, "__hit", key_cast
     )
     out = out.filter(F.col("__hit")).drop("__hit")
     if exact_df is not None:
@@ -258,3 +266,33 @@ def sharded_semi_join(
             how="left_semi",
         )
     return out
+
+
+def sharded_anti_join(
+    probe_df: DataFrame,
+    key_col: str,
+    blobs_df: DataFrame,
+    exact_df: DataFrame | None = None,
+    exact_key: str | None = None,
+    num_shards: int = 64,
+    salt: int = 8,
+    seed: int = DABLOOMS_SEED,
+    key_cast: str | None = None,
+) -> DataFrame:
+    """LEFT ANTI against a sharded filter: bloom misses pass straight
+    through (definite negatives); with exact_df only the ε-sized hit
+    set pays for an exact anti join — bloom_anti_join's contract at
+    filter sizes broadcast can't reach."""
+    out = sharded_bloom_probe(
+        probe_df, key_col, blobs_df, num_shards, salt, seed, "__hit", key_cast
+    )
+    misses = out.filter(~F.col("__hit")).drop("__hit")
+    if exact_df is None:
+        return misses
+    ek = exact_key or key_col
+    dim = exact_df.select(F.col(ek).alias("__ek")).distinct()
+    candidates = out.filter(F.col("__hit")).drop("__hit")
+    confirmed_absent = candidates.join(
+        dim, on=F.col(key_col) == F.col("__ek"), how="left_anti"
+    )
+    return misses.unionByName(confirmed_absent)

@@ -188,7 +188,7 @@ def test_auto_semi_join_strategies_exact_and_plan(spark, sf_dir):
     assert expected  # non-trivial fixture
 
     results = {}
-    for strat in ("broadcast", "bloom", "shuffle"):
+    for strat in ("broadcast", "bloom", "sharded", "shuffle"):
         out = auto_semi_join(lineitem, part, "l_partkey", dim_key="p_partkey",
                              strategy=strat)
         assert out.auto_semi_strategy == strat
@@ -210,10 +210,14 @@ def test_auto_semi_join_strategies_exact_and_plan(spark, sf_dir):
     try:
         out = auto_semi_join(lineitem, part, "l_partkey", dim_key="p_partkey")
         assert out.auto_semi_strategy == "bloom"
-        # filter budget zero -> plain shuffle join
+        # key universe beyond the single-blob budget -> SHARDED filter
+        # (the filter stays a DataFrame; never falls to plain shuffle
+        # for hash-safe keys)
         out = auto_semi_join(lineitem, part, "l_partkey", dim_key="p_partkey",
-                             bloom_blob_budget=0)
-        assert out.auto_semi_strategy == "shuffle"
+                             bloom_blob_budget=1)
+        assert out.auto_semi_strategy == "sharded"
+        got = {(r.l_orderkey, r.l_linenumber) for r in out.collect()}
+        assert got == expected
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
 

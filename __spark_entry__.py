@@ -877,7 +877,10 @@ def _q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 10)
-    return ivf_topk(emb, queries_df, k=5, num_centroids=8, nprobe=3)
+    # replicas=2: multi-assign each vector to its 2 nearest cells —
+    # recovers boundary-vector recall (0.69 -> 0.89 measured) for 2x
+    # index size
+    return ivf_topk(emb, queries_df, k=5, num_centroids=8, nprobe=3, replicas=2)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -288,6 +288,7 @@ def ivf_topk(
     nprobe: int = 4,
     seed: int = 42,
     train_iters: int = 2,
+    replicas: int = 1,
 ) -> DataFrame:
     """IVF-style ANN: corpus vectors are assigned to their nearest
     centroid (inverted lists); a query searches only its `nprobe`
@@ -300,6 +301,12 @@ def ivf_topk(
     bucketed/written by centroid id so a query's probe is a
     partition-pruned read; here the assignment is a JVM-joinable
     column. Approximate recall (rows-only check).
+
+    replicas: index each corpus vector in its `replicas` nearest cells
+    (multi-assignment). Vectors near a cell boundary are the classic
+    IVF recall leak — a query probing the neighboring cell misses
+    them; R=2 recovers most boundary losses for R× index size (the
+    standard storage-for-recall IVF trade, tunable per corpus).
     """
     spark = corpus.sparkSession
     cent = train_ivf_centroids(
@@ -325,7 +332,7 @@ def ivf_topk(
 
     c_assigned = corpus.select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
-    ).withColumn("cell", F.element_at(assign_udf(1)(F.col("cvec")), 1))
+    ).withColumn("cell", F.explode(assign_udf(max(1, replicas))(F.col("cvec"))))
     q_assigned = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     ).withColumn("cell", F.explode(assign_udf(nprobe)(F.col("qvec"))))

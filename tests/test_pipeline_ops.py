@@ -269,6 +269,12 @@ def test_ivf_topk_recall(spark, emb):
     # self-hit: each query's own vector shares its cell → sim 1.0 found
     self_hits = {r.query_id for r in approx.collect() if r.neighbor_id == r.query_id}
     assert len(self_hits) == 20
+    # multi-assignment (replicas=2) recovers boundary-vector recall
+    approx2 = ivf_topk(emb, queries, k=5, num_centroids=8, nprobe=3, replicas=2)
+    a2 = {(r.query_id, r.neighbor_id) for r in approx2.collect()}
+    recall2 = len(e & a2) / len(e)
+    assert recall2 >= recall
+    assert recall2 > 0.7, f"replicated IVF recall too low: {recall2}"
 
 
 def test_bpe_token_count_splits_punct(spark):

@@ -118,6 +118,73 @@ def test_host_counts_salted_equals_plain(spark):
     assert sum(plain.values()) == 2000
 
 
+def _py_canonicalize(url: str) -> str:
+    """Pure-python twin of canonicalize_url's documented rules, used
+    as a differential oracle on random inputs."""
+    import re
+
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://", url)
+    if not m:
+        return ""
+    scheme = m.group(1).lower()
+    auth_m = re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", url)
+    auth = auth_m.group(1) if auth_m else ""
+    host_m = re.match(r"^(?:[^@]*@)?([^:]*)", auth)
+    host = host_m.group(1).lower() if host_m else ""
+    port_m = re.search(r":([0-9]+)$", auth)
+    port = port_m.group(1) if port_m else ""
+    path_m = re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", url)
+    path = path_m.group(1) if path_m else ""
+    if path == "":
+        path = "/"
+    q_m = re.match(r"^[^#?]*\?([^#]*)", url)
+    q = q_m.group(1) if q_m else ""
+    params = sorted(p for p in q.split("&") if p and p[:4] != "utm_")
+    keep_port = ""
+    if port and not (
+        (scheme == "http" and port == "80")
+        or (scheme == "https" and port == "443")
+    ):
+        keep_port = ":" + port
+    out = scheme + "://" + host + keep_port + path
+    if params:
+        out += "?" + "&".join(params)
+    return out
+
+
+def test_canonicalize_differential_random(spark):
+    """Differential test vs the pure-python twin on 400 seeded random
+    URL-ish strings (nasty chars, missing parts, multiple ?/#)."""
+    import random
+
+    rng = random.Random(20260817)
+    frags = ["http", "https", "ftp", "://", ":", "//", "@", "#", "?", "&",
+             "=", ".", "/", "example", "EXAMPLE", "Com", "a", "b", "1",
+             "80", "443", "8080", "utm_x", "utm", " ", "%20", "~", "-"]
+    urls = set()
+    while len(urls) < 400:
+        n = rng.randint(1, 12)
+        urls.add("".join(rng.choice(frags) for _ in range(n)))
+    urls = sorted(urls)
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    got = {
+        r["url"]: r["c"]
+        for r in df.withColumn("c", canonicalize_url("url")).collect()
+    }
+    for u in urls:
+        assert got[u] == _py_canonicalize(u), repr(u)
+    # idempotence on every parseable random url
+    canon = [(c,) for c in got.values() if c]
+    if canon:
+        df2 = spark.createDataFrame(canon, ["url"])
+        twice = {
+            r["url"]: r["c"]
+            for r in df2.withColumn("c", canonicalize_url("url")).collect()
+        }
+        for c1, c2 in twice.items():
+            assert c1 == c2, repr(c1)
+
+
 def test_repetition_scores_values(spark):
     df = spark.createDataFrame(
         [(0, "a b a b a c"), (1, "x"), (2, "one two three"), (3, "z z z z")],

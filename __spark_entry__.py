@@ -631,6 +631,35 @@ def _q_url_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test wall: md5-prefix thresholds make
+    the assignment a portable pure function of the key — stable under
+    re-runs, repartitioning and cluster size, and reproducible outside
+    Spark (the oracle derives the identical wall in DuckDB)."""
+    from dablooms_spark.operators.sampling import deterministic_split
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return deterministic_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+
+
+def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination scan: corpus docs sharing ≥3 token
+    5-gram shingles with a benchmark doc (docs 0-9 stand in for the
+    eval set). Shingles hash JVM-side (xxhash64); the tiny benchmark
+    side broadcasts, the corpus never shuffles rows. Oracle joins the
+    shingle STRINGS — identical pairs by construction."""
+    from dablooms_spark.operators.sampling import contamination_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 10)
+    corpus = docs.filter(F.col("doc_id") >= 10)
+    return contamination_pairs(corpus, bench, min_hits=3).select(
+        "doc_id", "bench_id", F.col("n_shared").cast("long").alias("n_shared")
+    )
+
+
 def _q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dablooms_spark.operators.textops import with_fingerprint
 
@@ -913,6 +942,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": _q_doc_fingerprints,
         "repetition_scores_docs": _q_repetition_scores,
         "url_canonical_docs": _q_url_canonical_docs,
+        "split_assignment_docs": _q_split_assignment,
+        "contamination_docs": _q_contamination,
         "exact_dedup_docs": _q_exact_dedup,
         "minhash_dedup_pairs": _q_minhash_dedup_pairs,
         "simhash_pairs": _q_simhash_pairs,
@@ -1227,6 +1258,32 @@ def oracle_sql() -> dict[str, str]:
                        AS registered_domain,
                    path
             FROM h
+        """,
+        "split_assignment_docs": """
+            SELECT doc_id,
+                   CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 13)
+                             < 'ccccccccccccd' THEN 'train'
+                        WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 13)
+                             < 'e666666666666' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
+        "contamination_docs": """
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                       FROM documents),
+            sh AS (SELECT doc_id,
+                          unnest(list_distinct(
+                              [array_to_string(toks[i:i+4], ' ')
+                               for i in range(1, greatest(len(toks)-4, 1)+1)]
+                          )) AS sh
+                   FROM t),
+            c AS (SELECT doc_id, sh FROM sh WHERE doc_id >= 10),
+            b AS (SELECT DISTINCT doc_id AS bench_id, sh FROM sh
+                  WHERE doc_id < 10)
+            SELECT c.doc_id, b.bench_id, count(*) AS n_shared
+            FROM c JOIN b USING (sh)
+            GROUP BY c.doc_id, b.bench_id
+            HAVING count(*) >= 3
         """,
         "repetition_scores_docs": """
             WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks

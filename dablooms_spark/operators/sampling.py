@@ -1,0 +1,139 @@
+"""Deterministic splitting and decontamination for training corpora.
+
+Two operations every large-scale training-data pipeline needs in
+front of the sketch/dedup stages:
+
+* `deterministic_split` — key-hash train/val/test assignment. Unlike
+  `DataFrame.randomSplit` (seed + partition-order dependent, so a
+  re-run or repartition reshuffles examples across splits), the split
+  here is a pure function of the KEY: stable under re-runs, joins,
+  repartitioning, cluster size, and incremental arrivals — a document
+  can never migrate from test into train between pipeline versions.
+  Pure Catalyst (xxhash64 → pmod → CASE), map-only.
+
+* `contamination_pairs` / `decontaminate` — n-gram-overlap check of a
+  corpus against a benchmark/eval set (the training-data leak scan).
+  Both sides shingle with the SAME JVM-side xxhash64 k-gram pipeline
+  the MinHash dedup uses (textops.shingle_hashes), explode to
+  (shingle, id) and join on shingle hash — a contaminated doc is one
+  sharing ≥ min_hits shingles with any benchmark doc. The benchmark
+  side is tiny (thousands of eval prompts vs billions of docs), so
+  Catalyst broadcasts it; the corpus side stays a map + broadcast-join
+  with no corpus shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dablooms_spark.operators.textops import shingle_hashes
+
+SPLIT_SEED = 0x5B17
+
+
+def split_bucket(
+    key: str | Column, num_buckets: int = 100, seed: int = SPLIT_SEED
+) -> Column:
+    """Stable [0, num_buckets) bucket for a key — the primitive under
+    deterministic_split, usable directly for percentage sampling
+    (`split_bucket("url") < 5` == a stable 5% sample)."""
+    c = F.col(key) if isinstance(key, str) else key
+    return F.pmod(F.xxhash64(c.cast("string"), F.lit(seed)), F.lit(num_buckets))
+
+
+def _hex_cut(frac: float, digits: int = 13) -> str:
+    """Lowercase hex threshold t such that a uniform md5 prefix
+    compares < t with probability ≈ frac."""
+    return format(int(round(frac * (16 ** digits))), "x").rjust(digits, "0")
+
+
+def deterministic_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    out: str = "split",
+    salt: str = "",
+) -> DataFrame:
+    """Adds a split-name column assigned by key hash, proportional to
+    `weights` (e.g. {"train": 0.98, "val": 0.01, "test": 0.01}).
+
+    The assignment compares a 13-hex-digit md5 prefix of
+    (salt || key) against cumulative-weight thresholds. md5 prefixes
+    deliberately, not xxhash: the split definition is then PORTABLE —
+    any engine or language with md5 reproduces the exact same wall, so
+    downstream eval tooling outside Spark can re-derive membership.
+    Assignment order is the ITERATION ORDER of `weights`; pass the
+    same ordering across runs. Duplicate keys always land in the same
+    split (the property that matters: every version of a document
+    stays on one side of the train/test wall). `salt` rotates the
+    wall for a fresh experiment without touching the keys."""
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    c = F.col(key_col).cast("string")
+    prefix = F.substring(F.md5(F.concat(F.lit(salt), c)), 1, 13)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        cut = F.lit(_hex_cut(acc))
+        expr = (
+            F.when(prefix < cut, F.lit(name))
+            if expr is None
+            else expr.when(prefix < cut, F.lit(name))
+        )
+    last = F.lit(names[-1])
+    out_col = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out, out_col)
+
+
+def contamination_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_id_col: str | None = None,
+    k: int = 5,
+    min_hits: int = 1,
+) -> DataFrame:
+    """(doc_id, bench_id, n_shared) — corpus docs sharing ≥ min_hits
+    token k-gram shingles with a benchmark doc. The benchmark side is
+    broadcast; the corpus side never shuffles rows."""
+    bid = bench_id_col or id_col
+    c = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingle_hashes(text_col, k=k)).alias("sh"),
+    )
+    b = benchmark.select(
+        F.col(bid).alias("bench_id"),
+        F.explode(shingle_hashes(text_col, k=k)).alias("sh"),
+    ).distinct()
+    return (
+        c.join(F.broadcast(b), "sh")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_hits)
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_id_col: str | None = None,
+    k: int = 5,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Corpus minus contaminated docs (LEFT ANTI on the contamination
+    set) — the decontamination pass itself."""
+    bad = contamination_pairs(
+        corpus, benchmark, text_col, id_col, bench_id_col, k, min_hits
+    ).select("doc_id").distinct()
+    return corpus.join(
+        bad.withColumnRenamed("doc_id", "__bad_id"),
+        on=F.col(id_col) == F.col("__bad_id"),
+        how="left_anti",
+    )

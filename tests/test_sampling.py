@@ -1,0 +1,79 @@
+"""Deterministic splits and benchmark decontamination."""
+
+from pyspark.sql import functions as F
+
+from dablooms_spark.operators.sampling import (
+    contamination_pairs,
+    decontaminate,
+    deterministic_split,
+    split_bucket,
+)
+
+W = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def test_split_stable_and_proportional(spark):
+    df = spark.range(20_000).select(F.col("id").cast("string").alias("key"))
+    s = deterministic_split(df, "key", W)
+    counts = {r["split"]: r["count"] for r in s.groupBy("split").count().collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 20_000 - 0.8) < 0.02
+    assert abs(counts["val"] / 20_000 - 0.1) < 0.01
+    # pure function of the key: identical under repartition
+    a = {r["key"]: r["split"] for r in s.collect()}
+    b = {
+        r["key"]: r["split"]
+        for r in deterministic_split(df.repartition(13), "key", W).collect()
+    }
+    assert a == b
+
+
+def test_split_salt_rotates_wall(spark):
+    df = spark.range(5_000).select(F.col("id").cast("string").alias("key"))
+    a = {r["key"]: r["split"] for r in deterministic_split(df, "key", W).collect()}
+    c = {
+        r["key"]: r["split"]
+        for r in deterministic_split(df, "key", W, salt="exp2").collect()
+    }
+    moved = sum(1 for k in a if a[k] != c[k])
+    assert moved > 500  # a new salt re-deals a substantial fraction
+
+
+def test_split_is_map_only(spark):
+    df = spark.range(100).select(F.col("id").cast("string").alias("key"))
+    plan = (
+        deterministic_split(df, "key", W)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_split_bucket_percentage_sample(spark):
+    df = spark.range(50_000).select(F.col("id").cast("string").alias("key"))
+    n = df.filter(split_bucket("key") < 5).count()
+    assert abs(n / 50_000 - 0.05) < 0.01
+
+
+def test_contamination_and_decontaminate(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog today"),
+            (1, "completely unrelated benchmark prompt about math"),
+            # doc 10 copies doc 0's opening — contaminated
+            (10, "the quick brown fox jumps over a sleeping cat instead"),
+            (11, "novel training text with no overlap whatsoever here"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = docs.filter("doc_id < 10")
+    corpus = docs.filter("doc_id >= 10")
+    pairs = contamination_pairs(corpus, bench, min_hits=1).collect()
+    assert {(r["doc_id"], r["bench_id"]) for r in pairs} == {(10, 0)}
+    # shared shingles: positions 1..2 of the 5-gram window
+    assert pairs[0]["n_shared"] == 2
+    clean = decontaminate(corpus, bench, min_hits=1)
+    assert {r["doc_id"] for r in clean.collect()} == {11}
+    # raising min_hits above the overlap clears the flag
+    assert contamination_pairs(corpus, bench, min_hits=3).count() == 0

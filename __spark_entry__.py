@@ -647,9 +647,10 @@ def _q_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination scan: corpus docs sharing ≥3 token
     5-gram shingles with a benchmark doc (docs 0-9 stand in for the
-    eval set). Shingles hash JVM-side (xxhash64); the tiny benchmark
-    side broadcasts, the corpus never shuffles rows. Oracle joins the
-    shingle STRINGS — identical pairs by construction."""
+    eval set). Default exact mode joins shingle STRINGS (collision-
+    free — the oracle's semantics by construction); the tiny benchmark
+    side broadcasts, the corpus never shuffles rows. hashed=True is
+    the screening-pass variant for huge corpora."""
     from dablooms_spark.operators.sampling import contamination_pairs
 
     docs = load_table(spark, sf_dir, "documents")

@@ -280,74 +280,57 @@ def _auto_runtime_join(
 
     cond = F.col(on) == F.col("__dk")
     dimsel = dim_keys.withColumnRenamed(dk, "__dk")
+    if strategy in ("bloom", "sharded") and not bloom_safe:
+        raise ValueError(
+            f"{strategy} strategy is unsafe for key types "
+            f"{probe_df.schema[on].dataType.simpleString()} vs "
+            f"{dim_df.schema[dk].dataType.simpleString()}: natively-equal "
+            "values may render to different strings (false negatives). "
+            "Cast both keys to a common type first, or use "
+            "strategy='shuffle'/'broadcast'."
+        )
     if strategy == "broadcast":
         out = probe_df.join(F.broadcast(dimsel.distinct()), cond, how)
-    elif strategy == "bloom":
-        if not bloom_safe:
-            raise ValueError(
-                f"bloom strategy is unsafe for key types "
-                f"{probe_df.schema[on].dataType.simpleString()} vs "
-                f"{dim_df.schema[dk].dataType.simpleString()}: natively-equal "
-                "values may render to different strings (false negatives). "
-                "Cast both keys to a common type first, or use "
-                "strategy='shuffle'/'broadcast'."
-            )
+    elif strategy in ("bloom", "sharded"):
         if n_keys is None:
             n_keys = dim_keys.distinct().count()
-        # build over the string-cast key: the probe UDF casts its key
-        # to string, so build/probe bytes must match; differing integral
-        # types are canonicalized to long on BOTH sides
+        # build over the string-cast key: the probe paths cast their
+        # key to string, so build/probe bytes must match; differing
+        # integral types are canonicalized to long on BOTH sides
         dim_key_expr = F.col(dk)
         if key_cast is not None:
             dim_key_expr = dim_key_expr.cast(key_cast)
-        filt = build_counting_bloom(
-            dim_df.select(dim_key_expr.cast("string").alias(dk)),
-            dk,
-            capacity=max(n_keys, 1),
-            error_rate=error_rate,
-            seed=seed,
-        )
-        join_fn = bloom_semi_join if how == "left_semi" else bloom_anti_join
-        out = join_fn(
-            probe_df, on, filt, exact_df=dim_df, exact_key=dk, seed=seed,
-            key_cast=key_cast,
-        )
-    elif strategy == "sharded":
-        from dablooms_spark.operators.sharded import (
-            build_sharded_counting_bloom,
-            sharded_anti_join,
-            sharded_semi_join,
-        )
+        dim_keys_str = dim_df.select(dim_key_expr.cast("string").alias(dk))
+        if strategy == "bloom":
+            filt = build_counting_bloom(
+                dim_keys_str, dk, capacity=max(n_keys, 1),
+                error_rate=error_rate, seed=seed,
+            )
+            join_fn = bloom_semi_join if how == "left_semi" else bloom_anti_join
+            out = join_fn(
+                probe_df, on, filt, exact_df=dim_df, exact_key=dk, seed=seed,
+                key_cast=key_cast,
+            )
+        else:
+            from dablooms_spark.operators.sharded import (
+                build_sharded_counting_bloom,
+                sharded_anti_join,
+                sharded_semi_join,
+            )
 
-        if not bloom_safe:
-            raise ValueError(
-                f"sharded strategy is unsafe for key types "
-                f"{probe_df.schema[on].dataType.simpleString()} vs "
-                f"{dim_df.schema[dk].dataType.simpleString()}: natively-equal "
-                "values may render to different strings (false negatives). "
-                "Cast both keys to a common type first, or use "
-                "strategy='shuffle'."
+            blob_size = BloomGeometry(max(n_keys, 1), error_rate).size
+            num_shards = int(max(16, -(-blob_size // max(bloom_blob_budget, 1))))
+            blobs = build_sharded_counting_bloom(
+                dim_keys_str, dk, capacity=max(n_keys, 1),
+                error_rate=error_rate, num_shards=num_shards, seed=seed,
             )
-        if n_keys is None:
-            n_keys = dim_keys.distinct().count()
-        blob_size = BloomGeometry(max(n_keys, 1), error_rate).size
-        num_shards = max(16, -(-blob_size // max(bloom_blob_budget, 1)))
-        dim_key_expr = F.col(dk)
-        if key_cast is not None:
-            dim_key_expr = dim_key_expr.cast(key_cast)
-        blobs = build_sharded_counting_bloom(
-            dim_df.select(dim_key_expr.cast("string").alias(dk)),
-            dk,
-            capacity=max(n_keys, 1),
-            error_rate=error_rate,
-            num_shards=int(num_shards),
-            seed=seed,
-        )
-        join_fn = sharded_semi_join if how == "left_semi" else sharded_anti_join
-        out = join_fn(
-            probe_df, on, blobs, exact_df=dim_df, exact_key=dk,
-            num_shards=int(num_shards), seed=seed, key_cast=key_cast,
-        )
+            join_fn = (
+                sharded_semi_join if how == "left_semi" else sharded_anti_join
+            )
+            out = join_fn(
+                probe_df, on, blobs, exact_df=dim_df, exact_key=dk,
+                num_shards=num_shards, seed=seed, key_cast=key_cast,
+            )
     elif strategy == "shuffle":
         out = probe_df.join(dimsel.distinct(), cond, how)
     else:

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from dablooms_spark.operators.textops import shingle_hashes
+from dablooms_spark.operators.textops import shingle_hashes, shingle_strings
 
 SPLIT_SEED = 0x5B17
 
@@ -36,16 +36,24 @@ def split_bucket(
     key: str | Column, num_buckets: int = 100, seed: int = SPLIT_SEED
 ) -> Column:
     """Stable [0, num_buckets) bucket for a key — the primitive under
-    deterministic_split, usable directly for percentage sampling
-    (`split_bucket("url") < 5` == a stable 5% sample)."""
+    percentage sampling (`split_bucket("url") < 5` == a stable 5%
+    sample). NULL keys bucket to NULL (xxhash64 would otherwise
+    collapse every NULL into one constant bucket, silently including
+    or excluding them as a block)."""
     c = F.col(key) if isinstance(key, str) else key
-    return F.pmod(F.xxhash64(c.cast("string"), F.lit(seed)), F.lit(num_buckets))
+    c = c.cast("string")
+    b = F.pmod(F.xxhash64(c, F.lit(seed)), F.lit(num_buckets))
+    return F.when(c.isNotNull(), b)
 
 
 def _hex_cut(frac: float, digits: int = 13) -> str:
     """Lowercase hex threshold t such that a uniform md5 prefix
-    compares < t with probability ≈ frac."""
-    return format(int(round(frac * (16 ** digits))), "x").rjust(digits, "0")
+    compares < t with probability ≈ frac. Clamped to `digits` chars:
+    a cumulative fraction that rounds to 1.0 must not mint a
+    14-character cut (it would compare greater than EVERY 13-char
+    prefix and spill rows into later splits)."""
+    v = min(int(round(frac * (16 ** digits))), 16 ** digits - 1)
+    return format(max(v, 0), "x").rjust(digits, "0")
 
 
 def deterministic_split(
@@ -67,7 +75,13 @@ def deterministic_split(
     same ordering across runs. Duplicate keys always land in the same
     split (the property that matters: every version of a document
     stays on one side of the train/test wall). `salt` rotates the
-    wall for a fresh experiment without touching the keys."""
+    wall for a fresh experiment without touching the keys.
+
+    NULL keys get a NULL split (they have no identity to assign by) —
+    filter or impute them upstream rather than letting them skew one
+    split."""
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative")
     total = float(sum(weights.values()))
     if total <= 0:
         raise ValueError("weights must sum to a positive value")
@@ -86,6 +100,7 @@ def deterministic_split(
         )
     last = F.lit(names[-1])
     out_col = last if expr is None else expr.otherwise(last)
+    out_col = F.when(c.isNotNull(), out_col)
     return df.withColumn(out, out_col)
 
 
@@ -97,18 +112,27 @@ def contamination_pairs(
     bench_id_col: str | None = None,
     k: int = 5,
     min_hits: int = 1,
+    hashed: bool = False,
 ) -> DataFrame:
     """(doc_id, bench_id, n_shared) — corpus docs sharing ≥ min_hits
     token k-gram shingles with a benchmark doc. The benchmark side is
-    broadcast; the corpus side never shuffles rows."""
+    broadcast; the corpus side never shuffles rows.
+
+    hashed=False (default) joins shingle STRINGS — collision-free, so
+    n_shared is exactly the distinct-shingle overlap. hashed=True
+    joins 32-bit shingle hashes instead: ~8× less data movement for
+    huge corpora, at the cost of rare hash-collision overcounts
+    (odds ≈ |corpus shingles|·|bench shingles| / 2^32) — fine for a
+    screening pass, use the default for the audit that drops data."""
     bid = bench_id_col or id_col
+    sh_col = shingle_hashes if hashed else shingle_strings
     c = corpus.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(shingle_hashes(text_col, k=k)).alias("sh"),
+        F.explode(sh_col(text_col, k=k)).alias("sh"),
     )
     b = benchmark.select(
         F.col(bid).alias("bench_id"),
-        F.explode(shingle_hashes(text_col, k=k)).alias("sh"),
+        F.explode(sh_col(text_col, k=k)).alias("sh"),
     ).distinct()
     return (
         c.join(F.broadcast(b), "sh")
@@ -126,11 +150,12 @@ def decontaminate(
     bench_id_col: str | None = None,
     k: int = 5,
     min_hits: int = 1,
+    hashed: bool = False,
 ) -> DataFrame:
     """Corpus minus contaminated docs (LEFT ANTI on the contamination
     set) — the decontamination pass itself."""
     bad = contamination_pairs(
-        corpus, benchmark, text_col, id_col, bench_id_col, k, min_hits
+        corpus, benchmark, text_col, id_col, bench_id_col, k, min_hits, hashed
     ).select("doc_id").distinct()
     return corpus.join(
         bad.withColumnRenamed("doc_id", "__bad_id"),

@@ -147,8 +147,9 @@ def sharded_bloom_remove(
             return blob_pdf[cols]
         cb = CountingBloom.from_bytes(bytes(blob_pdf.blob.iloc[0]), seed=seed)
         dl = CountingBloom.merge_blobs([bytes(b) for b in del_pdf.blob], seed=seed)
+        # subtract() floors count at 0 itself (from_bytes restored the
+        # build-side n; merge_blobs summed the deletion partials')
         cb = cb.subtract(dl)
-        cb.count = max(int(blob_pdf.n.iloc[0]) - int(del_pdf.n.sum()), 0)
         return pd.DataFrame(
             {"shard": [int(blob_pdf.shard.iloc[0])], "blob": [cb.to_bytes()],
              "n": [cb.count]}

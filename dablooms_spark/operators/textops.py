@@ -172,18 +172,27 @@ def with_repetition_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def shingle_hashes(
-    text_col: str | Column, k: int = 5, num_buckets: int = 1 << 32
-) -> Column:
-    """Distinct xxhash64 values of token k-gram shingles (JVM-side).
-    The MinHash/LSH dedup path consumes these; xxhash64 keeps the
-    whole shingling stage inside whole-stage codegen."""
+def shingle_strings(text_col: str | Column, k: int = 5) -> Column:
+    """Distinct token k-gram shingle STRINGS (JVM-side). The exact
+    twin of shingle_hashes — use when collision-free equality matters
+    (e.g. decontamination audits) at the cost of moving strings
+    instead of longs."""
     toks = tokens(text_col)
     n = F.size(toks)
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
     )
+    return F.array_distinct(grams)
+
+
+def shingle_hashes(
+    text_col: str | Column, k: int = 5, num_buckets: int = 1 << 32
+) -> Column:
+    """Distinct xxhash64 values of token k-gram shingles (JVM-side).
+    The MinHash/LSH dedup path consumes these; xxhash64 keeps the
+    whole shingling stage inside whole-stage codegen."""
+    grams = shingle_strings(text_col, k)
     return F.array_distinct(
         F.transform(grams, lambda g: F.pmod(F.xxhash64(g), F.lit(num_buckets)))
     )

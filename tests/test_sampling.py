@@ -56,6 +56,35 @@ def test_split_bucket_percentage_sample(spark):
     assert abs(n / 50_000 - 0.05) < 0.01
 
 
+def test_split_zero_weight_tail_and_nulls(spark):
+    """Regression: a cumulative fraction hitting 1.0 must not mint a
+    14-hex cut (which would dump rows into a zero-weight final split);
+    NULL keys get NULL splits, never a silent pile-up in one split."""
+    df = spark.range(2_000).select(F.col("id").cast("string").alias("key"))
+    s = deterministic_split(df, "key", {"a": 0.7, "b": 0.3, "c": 0.0})
+    counts = {r["split"]: r["count"] for r in s.groupBy("split").count().collect()}
+    assert counts.get("c", 0) == 0
+    assert abs(counts["b"] / 2_000 - 0.3) < 0.05
+
+    withnull = spark.createDataFrame([("k1",), (None,)], "key string")
+    got = {
+        r["key"]: r["split"]
+        for r in deterministic_split(withnull, "key", W).collect()
+    }
+    assert got["k1"] in W
+    assert got[None] is None
+    buckets = {
+        r["key"]: r["b"]
+        for r in withnull.withColumn("b", split_bucket("key")).collect()
+    }
+    assert buckets[None] is None
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-negative"):
+        deterministic_split(df, "key", {"a": 1.2, "b": -0.2})
+
+
 def test_contamination_and_decontaminate(spark):
     docs = spark.createDataFrame(
         [

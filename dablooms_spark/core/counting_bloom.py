@@ -210,14 +210,16 @@ class CountingBloom:
         acc = np.zeros(g.size, dtype=np.int32)
         count = 0
         first_id = None
+        strict = False
         for blob in blobs:
-            (magic, _ver, kind, _pad, cap_i, err_i, nf_i, _pp, cpf_i, fid_i, cnt_i) = (
+            (magic, _ver, kind, flags_i, cap_i, err_i, nf_i, _pp, cpf_i, fid_i, cnt_i) = (
                 _HDR.unpack_from(blob, 0)
             )
             if magic != _MAGIC or (cap_i, err_i) != (capacity, error_rate):
                 raise ValueError("cannot merge counting blooms with different geometry")
             count += cnt_i
             first_id = fid_i if first_id is None else min(first_id, fid_i)
+            strict = strict or bool(flags_i & _FLAG_STRICT_OVERFLOW)
             if kind == _KIND_COUNTING_SPARSE_GAPS:
                 idx, vals = cls._decode_sparse_gaps(blob)
                 np.add.at(acc, idx, vals.astype(np.int32))
@@ -233,6 +235,15 @@ class CountingBloom:
                 packed = np.frombuffer(blob, dtype=np.uint8, offset=_HDR.size)
                 acc[0::2] += packed[: (g.size + 1) // 2] >> 4
                 acc[1::2] += (packed[: g.size // 2] & 0x0F).astype(np.int32)
+        if strict and acc.max(initial=0) > 15:
+            # any strict input makes the merge strict: a cross-shard
+            # sum past 15 is the same 4-bit overflow the reference
+            # refuses single-node (bitmap_increment ≈L108) — clipping
+            # here would silently break remove-safety
+            raise OverflowError(
+                "merge would overflow a 4-bit counter "
+                "(strict on_overflow='error' blob in the merge set)"
+            )
         np.clip(acc, 0, 15, out=acc)
         return cls(
             capacity,
@@ -241,6 +252,7 @@ class CountingBloom:
             seed=seed,
             _counters=acc.astype(np.uint8),
             _count=count,
+            on_overflow="error" if strict else "saturate",
         )
 
     @classmethod
@@ -305,9 +317,14 @@ class CountingBloom:
         """
         if self.geometry != other.geometry or self.seed != other.seed:
             raise ValueError("cannot merge counting blooms with different geometry")
-        merged = np.minimum(
-            self.counters.astype(np.int32) + other.counters, 15
-        ).astype(np.uint8)
+        strict = "error" in (self.on_overflow, other.on_overflow)
+        raw = self.counters.astype(np.int32) + other.counters
+        if strict and raw.max(initial=0) > 15:
+            raise OverflowError(
+                "merge would overflow a 4-bit counter "
+                "(strict on_overflow='error' operand)"
+            )
+        merged = np.minimum(raw, 15).astype(np.uint8)
         return CountingBloom(
             self.geometry.capacity,
             self.geometry.error_rate,
@@ -315,6 +332,7 @@ class CountingBloom:
             seed=self.seed,
             _counters=merged,
             _count=self.count + other.count,
+            on_overflow="error" if strict else "saturate",
         )
 
     # ---- serde ---------------------------------------------------------

@@ -252,15 +252,22 @@ def counting_bloom_partials(
     error_rate: float,
     seed: int = DABLOOMS_SEED,
     num_build_partitions: int | None = None,
+    on_overflow: str = "saturate",
 ) -> DataFrame:
     """Stage 1 only: one partial-filter blob row per input partition
-    (shard, blob, n). Checkpoint this for resumable builds."""
+    (shard, blob, n). Checkpoint this for resumable builds.
+
+    on_overflow='error' builds strict partials: a 4-bit overflow
+    raises in the executor (reference bitmap_increment refusal), the
+    strict flag rides the blob header, and merge_blobs re-checks
+    cross-partition sums — the distributed form of the reference's
+    single-node refusal."""
     sdf = df.select(F.col(key_col).alias("key")).filter(F.col("key").isNotNull())
     if num_build_partitions:
         sdf = sdf.repartition(num_build_partitions)
 
     def build_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        cb = CountingBloom(capacity, error_rate, seed=seed)
+        cb = CountingBloom(capacity, error_rate, seed=seed, on_overflow=on_overflow)
         from pyspark import TaskContext
 
         shard = TaskContext.get().partitionId() if TaskContext.get() else 0
@@ -285,6 +292,7 @@ def build_counting_bloom(
     seed: int = DABLOOMS_SEED,
     num_build_partitions: int | None = None,
     merge_fanin: int = 8,
+    on_overflow: str = "saturate",
 ) -> CountingBloom:
     """Build one counting bloom over a key column, distributed.
 
@@ -292,23 +300,36 @@ def build_counting_bloom(
     bit-identical to a single-process dablooms build over the same
     keys (any partitioning, any merge order), so no repartition is
     needed — each input partition builds locally and only blobs move.
-    """
+
+    on_overflow='error' reproduces the reference's refusal to push a
+    4-bit counter past 15 (bitmap_increment ≈L108) distributed:
+    partial builds raise executor-side, and cross-partition merge sums
+    re-check before clipping. Standard-path only — the chunked wide-
+    filter merge stays saturate-mode (its pieces clip before the
+    strict flag could see the true sum)."""
     g = BloomGeometry(capacity, error_rate)
     sdf = df.select(F.col(key_col).alias("key")).filter(F.col("key").isNotNull())
     if num_build_partitions:
         sdf = sdf.repartition(num_build_partitions)
     if g.size > 2_000_000:
+        if on_overflow == "error":
+            raise ValueError(
+                "on_overflow='error' is not supported on the chunked "
+                "wide-filter path (pieces clip before a strict check "
+                "could see true sums); use saturate mode or a smaller "
+                "geometry"
+            )
         # wide filter: chunked merge — one shuffle, counter-range
         # parallelism, no multi-round tree, no fat blobs to the driver
         num_chunks = max(df.sparkSession.sparkContext.defaultParallelism, 16)
         pieces = _chunk_pieces_build(sdf, capacity, error_rate, seed, num_chunks)
         return _chunked_counting_merge(pieces, capacity, error_rate, seed, num_chunks)
     blob_df = counting_bloom_partials(
-        df, key_col, capacity, error_rate, seed, num_build_partitions
+        df, key_col, capacity, error_rate, seed, num_build_partitions, on_overflow
     )
     filt, _ = _tree_merge(blob_df, seed, merge_fanin)
     if filt is None:
-        return CountingBloom(capacity, error_rate, seed=seed)
+        return CountingBloom(capacity, error_rate, seed=seed, on_overflow=on_overflow)
     return filt
 
 

@@ -512,3 +512,37 @@ def test_distributed_remove_on_dense_built_filter(spark):
     assert dist.to_bytes() == driver.to_bytes()
     kept = [f"k{i}".encode() for i in range(6000) if i % 4]
     assert dist.check(kept).all()
+
+
+def test_strict_overflow_distributed_build(spark):
+    """on_overflow='error' through the DISTRIBUTED build: duplicate-
+    heavy keys that overflow a 4-bit counter must raise (reference
+    bitmap_increment refusal, ≈L108) whether the overflow happens
+    inside one partition or only in the cross-partition merge sum;
+    clean builds succeed and stay strict through serde."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from dablooms_spark.core.counting_bloom import CountingBloom
+    from dablooms_spark.operators.bloom_build import build_counting_bloom
+
+    # clean: 200 distinct keys, no counter passes 15
+    clean = spark.range(200).select(F.concat(F.lit("k"), F.col("id")).alias("k"))
+    filt = build_counting_bloom(clean, "k", 500, 0.01, on_overflow="error")
+    assert filt.on_overflow == "error"
+    assert CountingBloom.from_bytes(filt.to_bytes()).on_overflow == "error"
+
+    # within-partition overflow: one key 20x in a single partition
+    hot1 = spark.range(20).select(F.lit("dup").alias("k")).coalesce(1)
+    with _pytest.raises(Exception, match="overflow"):
+        build_counting_bloom(hot1, "k", 500, 0.01, on_overflow="error")
+
+    # cross-partition overflow: 8 copies in each of 4 partitions —
+    # every partial stays at 8 (< 15), only the merge sum crosses
+    hot2 = spark.range(32, numPartitions=4).select(F.lit("dup").alias("k"))
+    with _pytest.raises(Exception, match="overflow"):
+        build_counting_bloom(hot2, "k", 500, 0.01, on_overflow="error")
+
+    # saturate mode shrugs at the same input
+    ok = build_counting_bloom(hot2, "k", 500, 0.01)
+    assert ok.check([b"dup"])[0]

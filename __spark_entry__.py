@@ -661,6 +661,22 @@ def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_host_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs per host through the SALTED two-level aggregation (web
+    host frequency is Zipf — the salt spreads a hot host across
+    tasks). Urls synthesized deterministically from doc_id; host
+    extraction is the urlops regex on both engines; the de-salted
+    counts are exact, so the oracle is a plain GROUP BY."""
+    from dablooms_spark.operators.urlops import host_counts
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    url = F.concat(
+        F.lit("https://Host-"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".Example.COM/p/"), F.col("doc_id").cast("string"),
+    )
+    return host_counts(docs.withColumn("url", url), salt_buckets=8)
+
+
 def _q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dablooms_spark.operators.textops import with_fingerprint
 
@@ -945,6 +961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical_docs": _q_url_canonical_docs,
         "split_assignment_docs": _q_split_assignment,
         "contamination_docs": _q_contamination,
+        "host_counts_salted": _q_host_counts_salted,
         "exact_dedup_docs": _q_exact_dedup,
         "minhash_dedup_pairs": _q_minhash_dedup_pairs,
         "simhash_pairs": _q_simhash_pairs,
@@ -1259,6 +1276,16 @@ def oracle_sql() -> dict[str, str]:
                        AS registered_domain,
                    path
             FROM h
+        """,
+        "host_counts_salted": """
+            SELECT lower(regexp_extract(
+                       'https://Host-' || CAST(doc_id % 7 AS VARCHAR)
+                       || '.Example.COM/p/' || CAST(doc_id AS VARCHAR),
+                       '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^@/?#]*@)?([^:/?#]*)',
+                       1)) AS host,
+                   count(*) AS n_docs
+            FROM documents
+            GROUP BY 1
         """,
         "split_assignment_docs": """
             SELECT doc_id,

@@ -1,0 +1,122 @@
+"""One-call corpus preparation: the stages this library exists for,
+composed in their canonical order.
+
+    result = prepare_training_corpus(spark_df_of_documents)
+    result.df            # cleaned, deduped, decontaminated + split
+    result.stats         # rows surviving each stage
+
+Order matters and is the standard one for LLM training corpora:
+
+  1. quality gates FIRST (cheap map-only Catalyst: token counts,
+     stopword density, Gopher repetition scores) — shed junk before
+     anything that shuffles;
+  2. exact dedup (hash groupBy) — collapse byte-identical copies so
+     near-dup never pays for them;
+  3. MinHash-LSH near-dup → connected components → keep cluster
+     representatives;
+  4. decontamination against a benchmark set (if given) — AFTER dedup
+     so each surviving representative is checked once;
+  5. deterministic split LAST, on the surviving rows, so train/test
+     proportions refer to the corpus actually trained on.
+
+Every stage is an operator documented elsewhere in this package;
+this module only composes them and keeps honest per-stage counts
+(each stage boundary is a real action — at 100 TB run it for the
+audit trail, or pass count_stages=False to fuse the whole pipeline
+into one lazy plan).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dablooms_spark.operators.dedup import exact_dedup, minhash_lsh_dedup
+from dablooms_spark.operators.graph import dedup_clusters
+from dablooms_spark.operators.sampling import decontaminate, deterministic_split
+from dablooms_spark.operators.textops import (
+    with_quality_score,
+    with_repetition_scores,
+)
+
+
+@dataclass
+class CorpusResult:
+    df: DataFrame
+    stats: dict[str, int] = field(default_factory=dict)
+
+
+def prepare_training_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 20,
+    max_dup_token_frac: float = 0.9,
+    max_top_bigram_frac: float = 0.5,
+    near_dup_threshold: float = 0.85,
+    benchmark: DataFrame | None = None,
+    contamination_min_hits: int = 3,
+    split_weights: dict[str, float] | None = None,
+    count_stages: bool = True,
+) -> CorpusResult:
+    """Quality-gate, dedup, (optionally) decontaminate and split a
+    document corpus. Returns the prepared DataFrame (original columns
+    + quality features + `split` when weights are given) and per-stage
+    surviving row counts."""
+    stats: dict[str, int] = {}
+
+    def checkpoint(name: str, df: DataFrame) -> DataFrame:
+        if count_stages:
+            stats[name] = df.count()
+        return df
+
+    checkpoint("input", docs)
+
+    # 1. quality gates — map-only, pushes work to the scan
+    scored = with_repetition_scores(
+        with_quality_score(docs, text_col), text_col
+    )
+    kept = scored.filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("dup_token_frac") <= max_dup_token_frac)
+        & (F.col("top_bigram_frac") <= max_top_bigram_frac)
+    )
+    kept = checkpoint("quality", kept)
+
+    # 2. exact dedup: keep the min-id row per distinct text
+    canonical = exact_dedup(kept, text_col, id_col).select(id_col)
+    kept = kept.join(canonical, id_col, "left_semi")
+    kept = checkpoint("exact_dedup", kept)
+
+    # 3. near-dup: LSH pairs -> components -> representatives
+    pairs = minhash_lsh_dedup(
+        kept.select(id_col, text_col),
+        text_col=text_col,
+        id_col=id_col,
+        threshold=near_dup_threshold,
+        materialize=False,
+    )
+    clusters = dedup_clusters(pairs)
+    drop = clusters.filter(~F.col("keep")).select(
+        F.col("node").alias("__drop_id")
+    )
+    kept = kept.join(
+        drop, on=F.col(id_col) == F.col("__drop_id"), how="left_anti"
+    )
+    kept = checkpoint("near_dedup", kept)
+
+    # 4. decontamination (exact shingle-string audit)
+    if benchmark is not None:
+        kept = decontaminate(
+            kept, benchmark, text_col=text_col, id_col=id_col,
+            min_hits=contamination_min_hits,
+        )
+        kept = checkpoint("decontaminated", kept)
+
+    # 5. deterministic split on the survivors
+    if split_weights:
+        kept = deterministic_split(kept, id_col, split_weights)
+
+    return CorpusResult(df=kept, stats=stats)

@@ -210,7 +210,7 @@ class CountingBloom:
         acc = np.zeros(g.size, dtype=np.int32)
         count = 0
         first_id = None
-        strict = False
+        strict = None
         for blob in blobs:
             (magic, _ver, kind, flags_i, cap_i, err_i, nf_i, _pp, cpf_i, fid_i, cnt_i) = (
                 _HDR.unpack_from(blob, 0)
@@ -219,7 +219,15 @@ class CountingBloom:
                 raise ValueError("cannot merge counting blooms with different geometry")
             count += cnt_i
             first_id = fid_i if first_id is None else min(first_id, fid_i)
-            strict = strict or bool(flags_i & _FLAG_STRICT_OVERFLOW)
+            b_strict = bool(flags_i & _FLAG_STRICT_OVERFLOW)
+            if strict is None:
+                strict = b_strict
+            elif strict != b_strict:
+                # see merge(): a saturate blob may carry clipped
+                # counters — a mixed merge cannot honestly be strict
+                raise ValueError(
+                    "cannot merge blobs with different on_overflow modes"
+                )
             if kind == _KIND_COUNTING_SPARSE_GAPS:
                 idx, vals = cls._decode_sparse_gaps(blob)
                 np.add.at(acc, idx, vals.astype(np.int32))
@@ -314,10 +322,25 @@ class CountingBloom:
         the saturated number of (key, band) hits; saturating-sum of
         saturated partials equals the saturated total, so a merged
         filter is bit-identical to a single-node build over the union.
+
+        Raises: ValueError on geometry/seed/on_overflow mismatch;
+        OverflowError when both operands are strict
+        (on_overflow='error') and a summed counter would pass 15 —
+        strict checkpoints therefore need overflow handling at
+        restore/merge time (see sources/checkpoint.py).
         """
         if self.geometry != other.geometry or self.seed != other.seed:
             raise ValueError("cannot merge counting blooms with different geometry")
-        strict = "error" in (self.on_overflow, other.on_overflow)
+        if self.on_overflow != other.on_overflow:
+            # a saturate-mode operand may already hold clipped counters,
+            # so a "strict" merge result could understate true counts —
+            # exactly the remove-hazard strict mode exists to prevent.
+            # Refuse rather than silently mislabel.
+            raise ValueError(
+                "cannot merge filters with different on_overflow modes "
+                f"({self.on_overflow!r} vs {other.on_overflow!r})"
+            )
+        strict = self.on_overflow == "error"
         raw = self.counters.astype(np.int32) + other.counters
         if strict and raw.max(initial=0) > 15:
             raise OverflowError(

@@ -98,24 +98,27 @@ def _tree_merge(blob_df: DataFrame, seed: int, fanin: int = 8, collect_threshold
         )
 
     blob_df = blob_df.persist()
-    n = blob_df.count()
-    if n == 0:
-        blob_df.unpersist()
-        return None, 0
-    df = blob_df
-    while n > collect_threshold:
-        k = math.ceil(n / fanin)
-        df = (
-            df.withColumn("g", (F.col("shard") % F.lit(k)).cast("long"))
-            .groupBy("g")
-            .applyInPandas(
-                lambda pdf: merge_group(pdf.assign(shard=pdf.g)),
-                schema=_BLOB_SCHEMA,
+    try:
+        n = blob_df.count()
+        if n == 0:
+            return None, 0
+        df = blob_df
+        while n > collect_threshold:
+            k = math.ceil(n / fanin)
+            df = (
+                df.withColumn("g", (F.col("shard") % F.lit(k)).cast("long"))
+                .groupBy("g")
+                .applyInPandas(
+                    lambda pdf: merge_group(pdf.assign(shard=pdf.g)),
+                    schema=_BLOB_SCHEMA,
+                )
             )
-        )
-        n = k
-    rows = df.collect()
-    blob_df.unpersist()
+            n = k
+        rows = df.collect()
+    finally:
+        # a strict (on_overflow='error') merge RAISES on overflow —
+        # an expected path that must not leak the pinned partials
+        blob_df.unpersist()
     filt = _merge_blob_list([r.blob for r in rows], seed)
     total = sum(r.n for r in rows)
     return filt, total
@@ -262,6 +265,8 @@ def counting_bloom_partials(
     strict flag rides the blob header, and merge_blobs re-checks
     cross-partition sums — the distributed form of the reference's
     single-node refusal."""
+    if on_overflow not in ("saturate", "error"):
+        raise ValueError("on_overflow must be 'saturate' or 'error'")
     sdf = df.select(F.col(key_col).alias("key")).filter(F.col("key").isNotNull())
     if num_build_partitions:
         sdf = sdf.repartition(num_build_partitions)
@@ -307,10 +312,9 @@ def build_counting_bloom(
     re-check before clipping. Standard-path only — the chunked wide-
     filter merge stays saturate-mode (its pieces clip before the
     strict flag could see the true sum)."""
+    if on_overflow not in ("saturate", "error"):
+        raise ValueError("on_overflow must be 'saturate' or 'error'")
     g = BloomGeometry(capacity, error_rate)
-    sdf = df.select(F.col(key_col).alias("key")).filter(F.col("key").isNotNull())
-    if num_build_partitions:
-        sdf = sdf.repartition(num_build_partitions)
     if g.size > 2_000_000:
         if on_overflow == "error":
             raise ValueError(
@@ -319,6 +323,9 @@ def build_counting_bloom(
                 "could see true sums); use saturate mode or a smaller "
                 "geometry"
             )
+        sdf = df.select(F.col(key_col).alias("key")).filter(F.col("key").isNotNull())
+        if num_build_partitions:
+            sdf = sdf.repartition(num_build_partitions)
         # wide filter: chunked merge — one shuffle, counter-range
         # parallelism, no multi-round tree, no fat blobs to the driver
         num_chunks = max(df.sparkSession.sparkContext.defaultParallelism, 16)

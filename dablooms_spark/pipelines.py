@@ -57,6 +57,7 @@ def prepare_training_corpus(
     max_top_bigram_frac: float = 0.5,
     near_dup_threshold: float = 0.85,
     benchmark: DataFrame | None = None,
+    bench_id_col: str | None = None,
     contamination_min_hits: int = 3,
     split_weights: dict[str, float] | None = None,
     count_stages: bool = True,
@@ -64,15 +65,27 @@ def prepare_training_corpus(
     """Quality-gate, dedup, (optionally) decontaminate and split a
     document corpus. Returns the prepared DataFrame (original columns
     + quality features + `split` when weights are given) and per-stage
-    surviving row counts."""
+    surviving row counts.
+
+    With count_stages=True each counted stage is persisted (and its
+    predecessor released) so the audit counts cost one extra pass
+    total, not a re-execution of the whole upstream pipeline per
+    stage; the final stage stays cached for the caller. Pass
+    count_stages=False for one fused lazy plan and no caching."""
     stats: dict[str, int] = {}
+    prev_cached: list[DataFrame] = []
 
     def checkpoint(name: str, df: DataFrame) -> DataFrame:
         if count_stages:
+            df = df.persist()
             stats[name] = df.count()
+            while prev_cached:
+                prev_cached.pop().unpersist()
+            prev_cached.append(df)
         return df
 
-    checkpoint("input", docs)
+    if count_stages:
+        stats["input"] = docs.count()
 
     # 1. quality gates — map-only, pushes work to the scan
     scored = with_repetition_scores(
@@ -111,7 +124,7 @@ def prepare_training_corpus(
     if benchmark is not None:
         kept = decontaminate(
             kept, benchmark, text_col=text_col, id_col=id_col,
-            min_hits=contamination_min_hits,
+            bench_id_col=bench_id_col, min_hits=contamination_min_hits,
         )
         kept = checkpoint("decontaminated", kept)
 

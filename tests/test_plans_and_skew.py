@@ -239,3 +239,37 @@ def test_fixed_scaling_build_plan_shape(spark, wp_parquet):
             assert "layer" in seg and "text" not in seg, seg
     scan = [l for l in lines if "ReadSchema" in l]
     assert scan and "html" not in scan[0]
+
+
+def test_bucketed_join_no_exchange(spark, tmp_path_factory):
+    """Co-located join layout: two tables bucketed+sorted on the join
+    key merge-join with ZERO Exchange in the plan — the pre-shuffled
+    topology big recurring joins should be stored in."""
+    from dablooms_spark.sources.webtable import write_bucketed
+
+    loc = str(tmp_path_factory.mktemp("bucketdb"))
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bucketdb LOCATION '{loc}'")
+    try:
+        a = spark.range(10_000).select(
+            F.col("id").alias("key"), (F.col("id") * 2).alias("va")
+        )
+        b = spark.range(5_000).select(
+            F.col("id").alias("key"), (F.col("id") * 3).alias("vb")
+        )
+        write_bucketed(a, "bucketdb.ta", "key", buckets=8)
+        write_bucketed(b, "bucketdb.tb", "key", buckets=8)
+        ta, tb = spark.table("bucketdb.ta"), spark.table("bucketdb.tb")
+        # disable broadcast so the join must pick a shuffle-or-bucketed
+        # merge strategy
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = ta.join(tb, "key")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan, plan
+            assert "Exchange" not in plan, plan
+            assert joined.count() == 5_000
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS bucketdb CASCADE")

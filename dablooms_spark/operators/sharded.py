@@ -56,11 +56,19 @@ def build_sharded_counting_bloom(
     error_rate: float,
     num_shards: int = 64,
     seed: int = DABLOOMS_SEED,
+    on_overflow: str = "saturate",
 ) -> DataFrame:
     """DataFrame(shard long, blob binary, n long): one counting bloom
     per key-hash shard, each sized capacity/num_shards. Rows never
     shuffle — partitions emit per-shard partial blobs, one blob-only
-    shuffle merges them."""
+    shuffle merges them.
+
+    on_overflow='error' extends the reference's bitmap_increment
+    refusal (≈L108) to the sharded topology: partial adds raise
+    executor-side, the strict flag rides each blob header, and the
+    per-shard merge_blobs re-checks cross-partition sums."""
+    if on_overflow not in ("saturate", "error"):
+        raise ValueError("on_overflow must be 'saturate' or 'error'")
     cap_shard = max(1, capacity // num_shards)
     sdf = df.select(
         F.col(key_col).cast("string").alias("key")
@@ -81,7 +89,9 @@ def build_sharded_counting_bloom(
                 lo, hi = bounds[s], bounds[s + 1]
                 cb = filters.get(int(s))
                 if cb is None:
-                    cb = CountingBloom(cap_shard, error_rate, seed=seed)
+                    cb = CountingBloom(
+                        cap_shard, error_rate, seed=seed, on_overflow=on_overflow
+                    )
                     filters[int(s)] = cb
                 cb.add_hashed(h1s[lo:hi], h2s[lo:hi])
         if filters:

@@ -305,3 +305,28 @@ def test_sharded_counting_remove(spark):
         assert r["n"] == 0
     blobs.unpersist()
     after.unpersist()
+
+
+def test_sharded_counting_strict_overflow(spark):
+    """Strict mode through the sharded build: a key repeated past 15
+    raises whether the copies sit in one partition or only sum past 15
+    across partitions; clean strict builds probe normally."""
+    import pytest as _pytest
+
+    from dablooms_spark.operators.sharded import (
+        build_sharded_counting_bloom,
+        sharded_bloom_probe,
+    )
+
+    clean = _rows(spark, n=500).select("k")
+    blobs = build_sharded_counting_bloom(
+        clean, "k", 2_000, 0.01, num_shards=4, on_overflow="error"
+    )
+    got = sharded_bloom_probe(clean, "k", blobs, num_shards=4)
+    assert got.filter("NOT is_member").count() == 0
+
+    hot = spark.range(32, numPartitions=4).select(F.lit("dup").alias("k"))
+    with _pytest.raises(Exception, match="overflow"):
+        build_sharded_counting_bloom(
+            hot, "k", 2_000, 0.01, num_shards=4, on_overflow="error"
+        ).count()

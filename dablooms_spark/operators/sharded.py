@@ -132,6 +132,7 @@ def sharded_bloom_remove(
     error_rate: float,
     num_shards: int = 64,
     seed: int = DABLOOMS_SEED,
+    on_overflow: str = "saturate",
 ) -> DataFrame:
     """Counter-decrement deletions against a sharded counting filter,
     fully in the cluster — counting_bloom_remove (src/dablooms.c
@@ -143,9 +144,12 @@ def sharded_bloom_remove(
     counter-wise, floored at zero. capacity/error_rate/num_shards/seed
     must match the build's — sharding and geometry are derived from
     them. Over-removal (keys never inserted) floors, mirroring the
-    non-strict decrement."""
+    non-strict decrement; pass on_overflow='error' when removing from
+    a strict filter so a deletion key repeated past 15 raises instead
+    of clipping (a clipped deletion count would mask the over-removal
+    the strict mode exists to refuse)."""
     del_blobs = build_sharded_counting_bloom(
-        deletions, key_col, capacity, error_rate, num_shards, seed
+        deletions, key_col, capacity, error_rate, num_shards, seed, on_overflow
     )
     cols = ["shard", "blob", "n"]
 

@@ -71,8 +71,18 @@ def write_bucketed(
     the difference between a metadata-aligned merge join and shuffling
     both tables. The Iceberg equivalent is a `bucket(N, key)`
     partition transform; Spark's session catalog records the same
-    bucket spec for its own scans."""
-    w = df.write.mode(mode).bucketBy(buckets, key)
+    bucket spec for its own scans.
+
+    The pre-write repartition on the bucket hash gives ONE file per
+    bucket: with multiple files per bucket Spark drops the sort
+    metadata at read time (outputOrdering only survives single-file
+    buckets), silently re-sorting every merge join — and a T-task
+    write would mint up to T·buckets small files."""
+    w = (
+        df.repartition(buckets, F.col(key))
+        .write.mode(mode)
+        .bucketBy(buckets, key)
+    )
     if sort:
         w = w.sortBy(key)
     w.saveAsTable(table)

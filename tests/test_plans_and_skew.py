@@ -263,13 +263,28 @@ def test_bucketed_join_no_exchange(spark, tmp_path_factory):
         # merge strategy
         old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # bucketed-scan output ordering is opt-in since SPARK-28632;
+        # with it on, single-file sorted buckets (write_bucketed
+        # repartitions on the bucket hash) eliminate the read-side
+        # Sort as well as the Exchange
+        spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
+        )
         try:
             joined = ta.join(tb, "key")
-            plan = joined._jdf.queryExecution().executedPlan().toString()
+            plan = _formatted_plan(joined)
+            import re as _re
+
             assert "SortMergeJoin" in plan, plan
             assert "Exchange" not in plan, plan
+            # a re-sort would appear as a standalone "Sort (N)" node
+            # (careful: "+- Sort" is a substring of "+- SortMergeJoin")
+            assert not _re.search(r"\bSort \(\d+\)", plan), plan
             assert joined.count() == 5_000
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+            spark.conf.set(
+                "spark.sql.legacy.bucketedTableScan.outputOrdering", "false"
+            )
     finally:
         spark.sql("DROP DATABASE IF EXISTS bucketdb CASCADE")

@@ -35,6 +35,16 @@ from dablooms_spark.functions.arrow_utils import arrow_byte_view
 from dablooms_spark.functions.hashing import km_expand
 from dablooms_spark.functions.murmur import DABLOOMS_SEED, dablooms_hash_words_buffer
 
+# Chunked piece flush: the sparse-piece stages (here, sharded_scaling,
+# bloom_remove) accumulate nfuncs-expanded int64 index arrays per
+# input partition; without a cap, worker memory is proportional to the
+# CALLER'S partition size (a coalesce(1) feeding a multi-GB partition
+# would OOM the Python worker). Draining every ~4M accumulated index
+# elements (~32 MB of int64) bounds memory unconditionally — the merge
+# side already counter-sums an arbitrary number of pieces per group,
+# so extra pieces change nothing but shuffle row count.
+PIECE_FLUSH_ELEMS = 4 << 20
+
 _BLOB_SCHEMA = "shard long, blob binary, n long"
 _BLOB_SCHEMA_PA = pa.schema(
     [("shard", pa.int64()), ("blob", pa.large_binary()), ("n", pa.int64())]
@@ -545,10 +555,51 @@ def scaling_bloom_fixed_partials(
         F.col(key_col).alias("key"), F.col(id_col).cast("long").alias("id")
     ).filter(F.col("key").isNotNull() & F.col("id").isNotNull())
 
+    piece_pa_schema = pa.schema(
+        [
+            ("layer", pa.int64()),
+            ("idx", pa.large_binary()),
+            ("exc", pa.large_binary()),
+            ("vals", pa.large_binary()),
+            ("n", pa.int64()),
+            ("max_id", pa.int64()),
+        ]
+    )
+    # snapshot driver-side so the value ships inside the pickled
+    # closure (a worker-side module import would read the worker's
+    # copy, invisible to callers/tests overriding the module attr)
+    flush_elems = PIECE_FLUSH_ELEMS
+
     def piece_stage(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         idx_parts: dict[int, list[np.ndarray]] = {}
         counts: dict[int, int] = {}
         maxid: dict[int, int] = {}
+        acc_elems = 0
+
+        def drain() -> pa.RecordBatch | None:
+            nonlocal idx_parts, counts, maxid, acc_elems
+            if not idx_parts:
+                return None
+            layers, gaps_b, exc_b, val_b, ns, mx = [], [], [], [], [], []
+            for li in sorted(idx_parts):
+                nz, cnts = np.unique(
+                    np.concatenate(idx_parts[li]), return_counts=True
+                )
+                gaps, exc = delta_encode(nz.astype(np.int64))
+                layers.append(li)
+                gaps_b.append(gaps)
+                exc_b.append(exc)
+                val_b.append(np.minimum(cnts, 15).astype(np.uint8).tobytes())
+                ns.append(counts[li])
+                mx.append(maxid[li])
+            rb = pa.RecordBatch.from_pydict(
+                {"layer": layers, "idx": gaps_b, "exc": exc_b, "vals": val_b,
+                 "n": ns, "max_id": mx},
+                schema=piece_pa_schema,
+            )
+            idx_parts, counts, maxid, acc_elems = {}, {}, {}, 0
+            return rb
+
         for batch in batches:
             ids = batch.column(1).to_numpy(zero_copy_only=False).astype(np.int64)
             if len(ids) == 0:
@@ -568,37 +619,18 @@ def scaling_bloom_fixed_partials(
                 li = int(li)
                 m = tgt == li
                 g = layer_geom(li)
-                idx_parts.setdefault(li, []).append(
-                    km_expand(h1[m], h2[m], g.nfuncs, g.counts_per_func).ravel()
-                )
+                arr = km_expand(h1[m], h2[m], g.nfuncs, g.counts_per_func).ravel()
+                idx_parts.setdefault(li, []).append(arr)
+                acc_elems += arr.size
                 counts[li] = counts.get(li, 0) + int(m.sum())
                 maxid[li] = max(maxid.get(li, 0), int(ids[m].max()))
-        if not idx_parts:
-            return
-        layers, gaps_b, exc_b, val_b, ns, mx = [], [], [], [], [], []
-        for li in sorted(idx_parts):
-            nz, cnts = np.unique(np.concatenate(idx_parts[li]), return_counts=True)
-            gaps, exc = delta_encode(nz.astype(np.int64))
-            layers.append(li)
-            gaps_b.append(gaps)
-            exc_b.append(exc)
-            val_b.append(np.minimum(cnts, 15).astype(np.uint8).tobytes())
-            ns.append(counts[li])
-            mx.append(maxid[li])
-        yield pa.RecordBatch.from_pydict(
-            {"layer": layers, "idx": gaps_b, "exc": exc_b, "vals": val_b,
-             "n": ns, "max_id": mx},
-            schema=pa.schema(
-                [
-                    ("layer", pa.int64()),
-                    ("idx", pa.large_binary()),
-                    ("exc", pa.large_binary()),
-                    ("vals", pa.large_binary()),
-                    ("n", pa.int64()),
-                    ("max_id", pa.int64()),
-                ]
-            ),
-        )
+            if acc_elems >= flush_elems:
+                rb = drain()
+                if rb is not None:
+                    yield rb
+        rb = drain()
+        if rb is not None:
+            yield rb
 
     pieces = sdf.mapInArrow(
         piece_stage,

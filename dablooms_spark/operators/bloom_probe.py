@@ -229,6 +229,22 @@ def _bloom_key_cast(probe_type, dim_type) -> tuple[bool, str | None]:
     return False, None
 
 
+def _approx_n_keys(dim_keys: DataFrame, dk: str) -> int:
+    """Price the filter with approx_count_distinct, not an exact
+    distinct().count(): the exact version is a full distinct Exchange
+    of the dim side purely for PLANNING — at 100× scale that planning
+    pass can cost more than the filter build it sizes. The HLL++
+    partial aggregates map-side (no row shuffle, one small partial per
+    partition) at rsd=2%; the 1.1× + 64 slack covers undershoot, and
+    the filter tolerates overshoot by construction (capacity slack
+    only lowers the observed FP rate; the exact verify join keeps
+    results exact regardless)."""
+    n = dim_keys.agg(
+        F.approx_count_distinct(F.col(dk), rsd=0.02).alias("__n")
+    ).first()["__n"]
+    return int(n * 1.1) + 64
+
+
 def _auto_runtime_join(
     probe_df: DataFrame,
     dim_df: DataFrame,
@@ -268,9 +284,10 @@ def _auto_runtime_join(
             # negative; exact shuffle keeps the LEFT SEMI/ANTI contract
             strategy = "shuffle"
         else:
-            # one counting pass over the (smaller) dim side prices the
-            # filter; the probe side is never scanned for stats
-            n_keys = dim_keys.distinct().count()
+            # one approximate counting pass over the (smaller) dim side
+            # prices the filter (map-side HLL partials, no distinct
+            # Exchange); the probe side is never scanned for stats
+            n_keys = _approx_n_keys(dim_keys, dk)
             blob_size = BloomGeometry(max(n_keys, 1), error_rate).size
             # one blob that fits the budget broadcasts (bloom); a key
             # universe beyond it goes SHARDED — the filter stays a
@@ -293,7 +310,7 @@ def _auto_runtime_join(
         out = probe_df.join(F.broadcast(dimsel.distinct()), cond, how)
     elif strategy in ("bloom", "sharded"):
         if n_keys is None:
-            n_keys = dim_keys.distinct().count()
+            n_keys = _approx_n_keys(dim_keys, dk)
         # build over the string-cast key: the probe paths cast their
         # key to string, so build/probe bytes must match; differing
         # integral types are canonicalized to long on BOTH sides

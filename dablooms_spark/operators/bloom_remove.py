@@ -116,9 +116,58 @@ def _scaling_deletion_blobs(
         F.col(id_col).cast("long").alias("id"),
     ).filter(F.col("key").isNotNull() & F.col("id").isNotNull())
 
+    piece_pa_schema = pa.schema(
+        [
+            ("layer", pa.int64()),
+            ("idx", pa.large_binary()),
+            ("exc", pa.large_binary()),
+            ("vals", pa.large_binary()),
+            ("n", pa.int64()),
+        ]
+    )
+
+    from dablooms_spark.operators import bloom_build as _bb
+
+    # snapshot driver-side: ships in the pickled closure, honours
+    # caller/test overrides of bloom_build.PIECE_FLUSH_ELEMS
+    flush_elems = _bb.PIECE_FLUSH_ELEMS
+
     def piece_stage(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         idx_parts: dict[int, list[np.ndarray]] = {}
         counts: dict[int, int] = {}
+        acc_elems = 0
+
+        def drain() -> pa.RecordBatch | None:
+            # bounded-memory flush: see bloom_build.PIECE_FLUSH_ELEMS.
+            # NOTE the per-piece saturation below stays exact under
+            # chunking: counters never exceed 15, and
+            # min(Σ min(c_i,15), 15) == min(Σ c_i, 15) for c_i ≥ 0, so
+            # the merge's post-sum clip restores the one-piece value.
+            nonlocal idx_parts, counts, acc_elems
+            if not idx_parts:
+                return None
+            layers, gaps_b, exc_b, val_b, ns = [], [], [], [], []
+            for li in sorted(idx_parts):
+                nz, cnts = np.unique(
+                    np.concatenate(idx_parts[li]), return_counts=True
+                )
+                gaps, exc = delta_encode(nz.astype(np.int64))
+                layers.append(li)
+                gaps_b.append(gaps)
+                exc_b.append(exc)
+                # saturate at 15: counters never exceed 15, so the
+                # clipped multiplicity subtracts identically to the
+                # true one
+                val_b.append(np.minimum(cnts, 15).astype(np.uint8).tobytes())
+                ns.append(counts[li])
+            rb = pa.RecordBatch.from_pydict(
+                {"layer": layers, "idx": gaps_b, "exc": exc_b,
+                 "vals": val_b, "n": ns},
+                schema=piece_pa_schema,
+            )
+            idx_parts, counts, acc_elems = {}, {}, 0
+            return rb
+
         for batch in batches:
             ids = batch.column(1).to_numpy(zero_copy_only=False).astype(np.int64)
             if len(ids) == 0:
@@ -131,35 +180,17 @@ def _scaling_deletion_blobs(
             for li in np.unique(tgt):
                 m = tgt == li
                 g = geoms[li]
-                idx_parts.setdefault(int(li), []).append(
-                    km_expand(h1[m], h2[m], g.nfuncs, g.counts_per_func).ravel()
-                )
+                arr = km_expand(h1[m], h2[m], g.nfuncs, g.counts_per_func).ravel()
+                idx_parts.setdefault(int(li), []).append(arr)
+                acc_elems += arr.size
                 counts[int(li)] = counts.get(int(li), 0) + int(m.sum())
-        if not idx_parts:
-            return
-        layers, gaps_b, exc_b, val_b, ns = [], [], [], [], []
-        for li in sorted(idx_parts):
-            nz, cnts = np.unique(np.concatenate(idx_parts[li]), return_counts=True)
-            gaps, exc = delta_encode(nz.astype(np.int64))
-            layers.append(li)
-            gaps_b.append(gaps)
-            exc_b.append(exc)
-            # saturate at 15: counters never exceed 15, so the clipped
-            # multiplicity subtracts identically to the true one
-            val_b.append(np.minimum(cnts, 15).astype(np.uint8).tobytes())
-            ns.append(counts[li])
-        yield pa.RecordBatch.from_pydict(
-            {"layer": layers, "idx": gaps_b, "exc": exc_b, "vals": val_b, "n": ns},
-            schema=pa.schema(
-                [
-                    ("layer", pa.int64()),
-                    ("idx", pa.large_binary()),
-                    ("exc", pa.large_binary()),
-                    ("vals", pa.large_binary()),
-                    ("n", pa.int64()),
-                ]
-            ),
-        )
+            if acc_elems >= flush_elems:
+                rb = drain()
+                if rb is not None:
+                    yield rb
+        rb = drain()
+        if rb is not None:
+            yield rb
 
     pieces = sdf.mapInArrow(
         piece_stage, schema="layer long, idx binary, exc binary, vals binary, n long"

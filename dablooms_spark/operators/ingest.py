@@ -72,6 +72,24 @@ def restore_filter(
     rows = df.select("blob").collect()
     if not rows:
         return None, manifest
+    if len(rows) > 1 and "shard" in df.columns:
+        # The ingest artifact is by contract ONE merged blob row. A
+        # multi-row (shard, blob, n) artifact here is either a sharded
+        # COUNTING filter (operators/sharded.py — per-shard blobs each
+        # sized capacity/num_shards that together hold every key;
+        # merging them into one small filter saturates it, observed FP
+        # → 1, with no error raised because all shards share a
+        # geometry) or uncommitted partials. Refuse both, mirroring
+        # the sharded-scaling branch above.
+        raise ValueError(
+            "checkpoint holds multiple (shard, blob) rows — a sharded "
+            "counting filter or un-merged partials, not an ingest "
+            "artifact; for sharded filters load with "
+            "CheckpointManager.load_blobs and probe with "
+            "sharded_bloom_probe (merging per-shard blobs into one "
+            "filter would saturate it); for partials run merge_blobs_df "
+            "first"
+        )
     filt = loads(bytes(rows[0].blob), seed=seed)
     for r in rows[1:]:
         filt = filt.merge(loads(bytes(r.blob), seed=seed))
@@ -154,6 +172,25 @@ def incremental_ingest(
     return new_rows, seq
 
 
+def _artifact_bytes(blob_dir: str, layers_df: DataFrame) -> int:
+    """Size of a committed artifact. The checkpoint protocol is
+    local-FS based (CheckpointManager uses os.* throughout), so file
+    sizes are O(1) metadata; a non-local path falls back to one
+    octet_length scan of the blob column — O(filter size) read, the
+    same order as the restore it sizes."""
+    import os
+
+    if os.path.isdir(blob_dir):
+        total = 0
+        for root, _dirs, files in os.walk(blob_dir):
+            for f in files:
+                if not f.startswith(("_", ".")):
+                    total += os.path.getsize(os.path.join(root, f))
+        return total
+    row = layers_df.agg(F.sum(F.octet_length("blob")).alias("b")).first()
+    return int(row["b"] or 0)
+
+
 def incremental_ingest_scaling(
     batch_df: DataFrame,
     key_col: str,
@@ -166,6 +203,8 @@ def incremental_ingest_scaling(
     exact_seen_df: DataFrame | None = None,
     exact_key: str | None = None,
     batch_tag: str | None = None,
+    broadcast_blob_budget: int = 64 << 20,
+    split_salt: int | None = None,
 ) -> tuple[DataFrame, int]:
     """The scaling-filter ingest loop: dablooms' unbounded-stream
     model across successive batches. Each batch carries fresh unique
@@ -178,11 +217,18 @@ def incremental_ingest_scaling(
     stays one task per layer at any history length.
 
     Returns (new_rows, committed_seqnum) with the same split
-    semantics/guarantees as incremental_ingest. The split probes a
-    driver-assembled copy of the prior filter (broadcast probe); for
-    filters beyond broadcast size, build with
-    build_sharded_scaling_layers and split with sharded_scaling_probe
-    instead."""
+    semantics/guarantees as incremental_ingest. The split
+    auto-routes on artifact size: up to broadcast_blob_budget the
+    prior filter is assembled once on the driver and broadcast-probed
+    (cheapest — one blob ships to every executor); beyond the budget
+    NO driver assembly happens — the layer rows stay a DataFrame and
+    the batch splits through the salt-replicated cogroup probe
+    (sharded_scaling_probe with the layer rows as one logical shard),
+    so driver memory never bounds ingest. split_salt controls the
+    cogroup fan-out (default max(8, defaultParallelism)); each probe
+    task holds the full layer set, so for filters beyond EXECUTOR
+    memory build sharded from the start with
+    build_sharded_scaling_layers."""
     from dablooms_spark.operators.bloom_build import (
         assemble_scaling_bloom,
         merge_layer_rows,
@@ -211,11 +257,42 @@ def incremental_ingest_scaling(
                 f"found a counting-bloom artifact at {checkpoint_path} "
                 "(use incremental_ingest for that run)"
             )
-        prior = assemble_scaling_bloom(prior_layers.collect(), seed)
-        new_rows = bloom_anti_join(
-            batch_df, key_col, prior,
-            exact_df=exact_seen_df, exact_key=exact_key, seed=seed,
-        )
+        if _artifact_bytes(manifest["blob_dir"], prior_layers) <= broadcast_blob_budget:
+            prior = assemble_scaling_bloom(prior_layers.collect(), seed)
+            new_rows = bloom_anti_join(
+                batch_df, key_col, prior,
+                exact_df=exact_seen_df, exact_key=exact_key, seed=seed,
+            )
+        else:
+            # beyond broadcast size: the prior filter never visits the
+            # driver — probe the layer rows as ONE logical shard
+            # through the salt-replicated cogroup (probe rows fan out
+            # across `salt` tasks; the layer side replicates to each).
+            # Identical split semantics: bloom misses are definite new
+            # keys; with exact_seen_df the ε-sized hit set is verified
+            # by a real anti join (mirrors bloom_anti_join).
+            from dablooms_spark.operators.sharded_scaling import (
+                sharded_scaling_probe,
+            )
+
+            salt = split_salt or max(8, spark.sparkContext.defaultParallelism)
+            one_shard = prior_layers.withColumn("shard", F.lit(0).cast("long"))
+            probed = sharded_scaling_probe(
+                batch_df, key_col, one_shard, num_shards=1, salt=salt,
+                seed=seed, out_col="__seen",
+            )
+            misses = probed.filter(~F.col("__seen")).drop("__seen")
+            if exact_seen_df is None:
+                new_rows = misses
+            else:
+                ek = exact_key or key_col
+                dim = exact_seen_df.select(F.col(ek).alias("__ek")).distinct()
+                candidates = probed.filter(F.col("__seen")).drop("__seen")
+                new_rows = misses.unionByName(
+                    candidates.join(
+                        dim, on=F.col(key_col) == F.col("__ek"), how="left_anti"
+                    )
+                )
     else:
         new_rows = batch_df
 

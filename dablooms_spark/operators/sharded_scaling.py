@@ -62,8 +62,25 @@ _PIECE_SCHEMA = (
 )
 _ROW_SCHEMA = (
     "shard long, first_id long, layer_eps double, capacity long, "
-    "max_id long, sb_eps double, blob binary, n long"
+    "max_id long, sb_eps double, blob binary, n long, num_shards long"
 )
+
+
+def _ensure_num_shards(layers_df: DataFrame, num_shards: int) -> DataFrame:
+    """num_shards determines BOTH shard routing and the layer width
+    (width = (capacity-1)*num_shards): probing or deleting with a
+    mismatched value routes keys to (shard, first_id) groups that
+    mostly don't exist — silent drops — and can scatter decrements
+    into wrong counters of a group that does exist. The build
+    therefore stamps num_shards into every layer row; here we keep the
+    column for per-group validation. Pre-r4 artifacts without the
+    column get the caller's value stamped in (nothing to validate
+    against — documented trust)."""
+    if "num_shards" not in layers_df.columns:
+        return layers_df.withColumn(
+            "num_shards", F.lit(num_shards).cast("long")
+        )
+    return layers_df
 
 
 def _layer_geom(
@@ -103,10 +120,56 @@ def _pieces_df(
         _shard_expr(key, num_shards).alias("shard"),
     ).filter(F.col("key").isNotNull() & F.col("id").isNotNull())
 
+    piece_pa_schema = pa.schema(
+        [
+            ("shard", pa.int64()),
+            ("layer", pa.int64()),
+            ("idx", pa.large_binary()),
+            ("exc", pa.large_binary()),
+            ("vals", pa.large_binary()),
+            ("n", pa.int64()),
+            ("max_id", pa.int64()),
+        ]
+    )
+
+    from dablooms_spark.operators import bloom_build as _bb
+
+    # snapshot driver-side: ships in the pickled closure, honours
+    # caller/test overrides of bloom_build.PIECE_FLUSH_ELEMS
+    flush_elems = _bb.PIECE_FLUSH_ELEMS
+
     def piece_stage(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         idx_parts: dict[tuple[int, int], list[np.ndarray]] = {}
         counts: dict[tuple[int, int], int] = {}
         maxid: dict[tuple[int, int], int] = {}
+        acc_elems = 0
+
+        def drain() -> pa.RecordBatch | None:
+            # bounded-memory flush: see bloom_build.PIECE_FLUSH_ELEMS
+            nonlocal idx_parts, counts, maxid, acc_elems
+            if not idx_parts:
+                return None
+            sh, layers, gaps_b, exc_b, val_b, ns, mx = [], [], [], [], [], [], []
+            for s, li in sorted(idx_parts):
+                nz, cnts = np.unique(
+                    np.concatenate(idx_parts[(s, li)]), return_counts=True
+                )
+                gaps, exc = delta_encode(nz.astype(np.int64))
+                sh.append(s)
+                layers.append(li)
+                gaps_b.append(gaps)
+                exc_b.append(exc)
+                val_b.append(np.minimum(cnts, 15).astype(np.uint8).tobytes())
+                ns.append(counts[(s, li)])
+                mx.append(maxid[(s, li)])
+            rb = pa.RecordBatch.from_pydict(
+                {"shard": sh, "layer": layers, "idx": gaps_b, "exc": exc_b,
+                 "vals": val_b, "n": ns, "max_id": mx},
+                schema=piece_pa_schema,
+            )
+            idx_parts, counts, maxid, acc_elems = {}, {}, {}, 0
+            return rb
+
         for batch in batches:
             ids = batch.column(1).to_numpy(zero_copy_only=False).astype(np.int64)
             if len(ids) == 0:
@@ -129,41 +192,18 @@ def _pieces_df(
                 s, li = int(gcode >> 40), int(gcode & ((1 << 40) - 1))
                 g = _layer_geom(li, capacity, error_rate, geom_cache)
                 kk = (s, li)
-                idx_parts.setdefault(kk, []).append(
-                    km_expand(h1[m], h2[m], g.nfuncs, g.counts_per_func).ravel()
-                )
+                arr = km_expand(h1[m], h2[m], g.nfuncs, g.counts_per_func).ravel()
+                idx_parts.setdefault(kk, []).append(arr)
+                acc_elems += arr.size
                 counts[kk] = counts.get(kk, 0) + int(m.sum())
                 maxid[kk] = max(maxid.get(kk, 0), int(ids[m].max()))
-        if not idx_parts:
-            return
-        sh, layers, gaps_b, exc_b, val_b, ns, mx = [], [], [], [], [], [], []
-        for s, li in sorted(idx_parts):
-            nz, cnts = np.unique(
-                np.concatenate(idx_parts[(s, li)]), return_counts=True
-            )
-            gaps, exc = delta_encode(nz.astype(np.int64))
-            sh.append(s)
-            layers.append(li)
-            gaps_b.append(gaps)
-            exc_b.append(exc)
-            val_b.append(np.minimum(cnts, 15).astype(np.uint8).tobytes())
-            ns.append(counts[(s, li)])
-            mx.append(maxid[(s, li)])
-        yield pa.RecordBatch.from_pydict(
-            {"shard": sh, "layer": layers, "idx": gaps_b, "exc": exc_b,
-             "vals": val_b, "n": ns, "max_id": mx},
-            schema=pa.schema(
-                [
-                    ("shard", pa.int64()),
-                    ("layer", pa.int64()),
-                    ("idx", pa.large_binary()),
-                    ("exc", pa.large_binary()),
-                    ("vals", pa.large_binary()),
-                    ("n", pa.int64()),
-                    ("max_id", pa.int64()),
-                ]
-            ),
-        )
+            if acc_elems >= flush_elems:
+                rb = drain()
+                if rb is not None:
+                    yield rb
+        rb = drain()
+        if rb is not None:
+            yield rb
 
     return sdf.mapInArrow(piece_stage, schema=_PIECE_SCHEMA)
 
@@ -216,6 +256,7 @@ def build_sharded_scaling_layers(
                 "sb_eps": [error_rate],
                 "blob": [cb.to_bytes()],
                 "n": [cb.count],
+                "num_shards": [num_shards],
             }
         )
 
@@ -259,13 +300,14 @@ def sharded_scaling_probe(
     # partitions than their probe rows (int 0 and long 0 hash apart),
     # silently splitting every group into a probe-only half (all-False
     # verdicts) and an orphan blob half
-    b = layers_df.select(
+    b = _ensure_num_shards(layers_df, num_shards).select(
         F.col("shard").cast("long").alias("__shard"),
         F.explode(
             F.sequence(F.lit(0).cast("long"), F.lit(salt - 1).cast("long"))
         ).alias("__salt"),
         "first_id",
         "blob",
+        "num_shards",
     )
     out_schema = StructType(
         list(probe_df.schema.fields) + [StructField(out_col, BooleanType())]
@@ -278,6 +320,13 @@ def sharded_scaling_probe(
         out = probe_pdf[in_cols]
         if layer_pdf.empty:
             return out.assign(**{out_col: False})
+        built_shards = int(layer_pdf["num_shards"].iloc[0])
+        if built_shards != num_shards:
+            raise ValueError(
+                f"num_shards drift: layer rows were built with "
+                f"num_shards={built_shards}, probe called with "
+                f"{num_shards} — shard routing and layer width differ"
+            )
         keys_str = probe_pdf["__key_str"]
         arr = pa.array(keys_str.astype(str), type=pa.large_string())
         buf, offs, lens = arrow_byte_view(arr)
@@ -342,9 +391,23 @@ def sharded_scaling_remove(
         "first_id", F.col("layer") * F.lit(width)
     ).drop("layer")
 
+    layers_df = _ensure_num_shards(layers_df, num_shards)
+    # Eager one-row check too: with a mismatched num_shards most
+    # deletion pieces route to (shard, first_id) groups that don't
+    # exist, where the per-group validation below can never fire (the
+    # cogroup sees no layer row to compare) and deletions would be
+    # silently dropped as "never inserted". One first() is one tiny
+    # job, negligible against the remove itself.
+    head = layers_df.select("num_shards").first()
+    if head is not None and int(head["num_shards"]) != num_shards:
+        raise ValueError(
+            f"num_shards drift: layer rows were built with "
+            f"num_shards={head['num_shards']}, remove called with "
+            f"{num_shards}"
+        )
     out_fields = [
         "shard", "first_id", "layer_eps", "capacity", "max_id", "sb_eps",
-        "blob", "n",
+        "blob", "n", "num_shards",
     ]
 
     def apply_deletions(keys, layer_pdf: pd.DataFrame, piece_pdf: pd.DataFrame) -> pd.DataFrame:
@@ -356,6 +419,13 @@ def sharded_scaling_remove(
             raise ValueError(
                 "geometry drift: layer rows were built with "
                 f"capacity={row['capacity']}, error_rate={row['sb_eps']}"
+            )
+        if int(row["num_shards"]) != num_shards:
+            raise ValueError(
+                f"num_shards drift: layer rows were built with "
+                f"num_shards={row['num_shards']}, remove called with "
+                f"{num_shards} — deletion pieces would route to wrong "
+                f"(shard, first_id) groups"
             )
         if piece_pdf.empty:
             return layer_pdf[out_fields]

@@ -134,11 +134,17 @@ def host_counts(
     two-level salted aggregation (partial counts on (host, salt), then
     de-salt) — the same pattern as operators.skew, inline here because
     count is trivially associative."""
-    hosts = df.select(url_host(url_col).alias("host"))
+    hosts = df.select(url_host(url_col).alias("host"), F.col(url_col).alias("_u"))
     if salt_buckets <= 0:
         return hosts.groupBy("host").agg(F.count(F.lit(1)).alias("n_docs"))
+    # Salt derived from row CONTENT (the url), never from
+    # monotonically_increasing_id(): a nondeterministic expression
+    # feeding a shuffle key breaks exactly-once under task retry /
+    # speculation (a recomputed map task would assign different salts
+    # than the attempt some reducers already fetched). Distinct urls
+    # under one hot host still spread across all buckets.
     salted = hosts.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
+        "_salt", F.pmod(F.xxhash64(F.col("_u")), F.lit(salt_buckets))
     )
     partial = salted.groupBy("host", "_salt").agg(F.count(F.lit(1)).alias("c"))
     return partial.groupBy("host").agg(F.sum("c").cast("long").alias("n_docs"))

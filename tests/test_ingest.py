@@ -167,3 +167,71 @@ def test_incremental_ingest_manifest_metadata(spark, tmp_path):
     assert m["lineage"]["batch_tag"] == "day=2026-08-17"
     assert m["lineage"]["capacity"] == 500
     assert m["total_rows"] == 100
+
+
+def test_restore_filter_refuses_sharded_counting_artifact(spark, tmp_path):
+    """A multi-row (shard, blob, n) artifact — a sharded counting
+    filter or un-merged partials — must not be silently merged into
+    one saturated filter (per-shard blobs are sized capacity/S yet
+    together hold every key: merged FP -> 1 with no error)."""
+    from dablooms_spark.operators.sharded import build_sharded_counting_bloom
+    from dablooms_spark.sources.checkpoint import CheckpointManager
+
+    path = str(tmp_path / "ck")
+    keys = spark.range(2_000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("key")
+    )
+    blobs = build_sharded_counting_bloom(keys, "key", 2_000, 0.01, num_shards=8)
+    CheckpointManager(path).commit(blobs, "run", stage="sharded")
+    with pytest.raises(ValueError, match="sharded_bloom_probe"):
+        restore_filter(spark, path, "run")
+
+
+def test_scaling_ingest_autoroutes_above_broadcast_budget(spark, tmp_path, monkeypatch):
+    """Above broadcast_blob_budget the split must not assemble the
+    prior filter on the driver: same new_rows through the distributed
+    layer-row probe, with assemble_scaling_bloom forbidden."""
+    import dablooms_spark.operators.bloom_build as bb
+    from dablooms_spark.operators.ingest import incremental_ingest_scaling
+
+    def mk_batch(lo, hi):
+        return spark.range(lo, hi).select(
+            F.concat(F.lit("k"), F.col("id")).alias("key"), F.col("id").alias("rid")
+        )
+
+    b1, b2 = mk_batch(0, 800), mk_batch(400, 1_200)
+    expected_new = {f"k{i}" for i in range(800, 1_200)}
+
+    # reference run: broadcast path (roomy budget)
+    pa_, pb_ = str(tmp_path / "a"), str(tmp_path / "b")
+    for p in (pa_, pb_):
+        incremental_ingest_scaling(b1, "key", "rid", p, "run", 500, 0.05)
+    ref, _ = incremental_ingest_scaling(
+        b2, "key", "rid", pa_, "run", 500, 0.05,
+        exact_seen_df=b1, exact_key="key",
+    )
+    assert {r["key"] for r in ref.collect()} == expected_new
+
+    # forced-tiny budget: driver assembly must never happen
+    def boom(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError("driver-side assemble_scaling_bloom was called")
+
+    monkeypatch.setattr(bb, "assemble_scaling_bloom", boom)
+    routed, seq = incremental_ingest_scaling(
+        b2, "key", "rid", pb_, "run", 500, 0.05,
+        exact_seen_df=b1, exact_key="key",
+        broadcast_blob_budget=1, split_salt=4,
+    )
+    assert {r["key"] for r in routed.collect()} == expected_new
+    assert seq == 2
+
+    # approximate mode too (no exact verify): misses only, no driver
+    pc_ = str(tmp_path / "c")
+    incremental_ingest_scaling(b1, "key", "rid", pc_, "run", 500, 0.05)
+    approx, _ = incremental_ingest_scaling(
+        b2, "key", "rid", pc_, "run", 500, 0.05,
+        broadcast_blob_budget=1, split_salt=4,
+    )
+    got = {r["key"] for r in approx.collect()}
+    assert got <= expected_new  # never reports a seen key as new
+    assert len(got) >= len(expected_new) * 0.9  # only FP casualties missing

@@ -330,3 +330,48 @@ def test_sharded_counting_strict_overflow(spark):
         build_sharded_counting_bloom(
             hot, "k", 2_000, 0.01, num_shards=4, on_overflow="error"
         ).count()
+
+
+def test_num_shards_drift_raises(spark):
+    """num_shards determines shard routing AND layer width; a
+    mismatched probe/remove must refuse instead of silently answering
+    from wrong counters (or dropping deletions)."""
+    import pytest
+
+    from dablooms_spark.operators.sharded_scaling import sharded_scaling_remove
+
+    rows = _rows(spark, n=2_000, parts=2)
+    layers = build_sharded_scaling_layers(
+        rows, "k", "id", capacity=CAP, error_rate=EPS, num_shards=SHARDS
+    ).cache()
+    with pytest.raises(Exception, match="num_shards drift"):
+        sharded_scaling_probe(
+            rows.select("k"), "k", layers, num_shards=SHARDS * 2
+        ).collect()
+    # remove validates eagerly (one first()), before any piece work
+    with pytest.raises(ValueError, match="num_shards drift"):
+        sharded_scaling_remove(
+            layers, rows.limit(10), "k", "id", CAP, EPS, num_shards=SHARDS * 2
+        )
+    layers.unpersist()
+
+
+def test_sharded_chunked_flush_bit_identical(spark, monkeypatch):
+    """PIECE_FLUSH_ELEMS chunking is invisible to the sharded scaling
+    build: tiny flush budget on a single giant partition == default."""
+    import dablooms_spark.operators.bloom_build as bb
+
+    rows = _rows(spark, n=8_000, parts=1)
+
+    def snap():
+        return {
+            (r.shard, r.first_id): (bytes(r.blob), r.n)
+            for r in build_sharded_scaling_layers(
+                rows.coalesce(1), "k", "id",
+                capacity=CAP, error_rate=EPS, num_shards=SHARDS,
+            ).collect()
+        }
+
+    base = snap()
+    monkeypatch.setattr(bb, "PIECE_FLUSH_ELEMS", 1024)
+    assert snap() == base

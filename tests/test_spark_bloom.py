@@ -546,3 +546,63 @@ def test_strict_overflow_distributed_build(spark):
     # saturate mode shrugs at the same input
     ok = build_counting_bloom(hot2, "k", 500, 0.01)
     assert ok.check([b"dup"])[0]
+
+
+def test_chunked_piece_flush_bit_identical(spark, monkeypatch):
+    """Worker memory in the sparse-piece stages is bounded by
+    PIECE_FLUSH_ELEMS regardless of input partition size. Chunking
+    must be invisible: a coalesce(1) giant partition built with a tiny
+    flush budget (many pieces per layer) is bit-identical to the
+    default one-piece-per-partition build, for both the fixed-boundary
+    scaling build and the distributed deletion blobs."""
+    import copy
+
+    import dablooms_spark.operators.bloom_build as bb
+    from dablooms_spark.operators import build_scaling_bloom
+    from dablooms_spark.operators.bloom_build import scaling_bloom_fixed_partials
+    from dablooms_spark.operators.bloom_remove import bloom_remove_distributed
+
+    df = spark.range(12_000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("key"), F.col("id")
+    )
+    base = {
+        (r.first_id,): (bytes(r.blob), r.n)
+        for r in scaling_bloom_fixed_partials(
+            df.coalesce(1), "key", "id", capacity=1500, error_rate=0.05
+        ).collect()
+    }
+    # ~7 hash funcs x 12k rows >> 1024: forces many flushes in the one
+    # giant partition
+    monkeypatch.setattr(bb, "PIECE_FLUSH_ELEMS", 1024)
+    chunked = {
+        (r.first_id,): (bytes(r.blob), r.n)
+        for r in scaling_bloom_fixed_partials(
+            df.coalesce(1), "key", "id", capacity=1500, error_rate=0.05
+        ).collect()
+    }
+    assert chunked == base
+
+    # deletion path: chunked deletion blobs subtract identically
+    filt = build_scaling_bloom(
+        df, "key", "id", capacity=1500, error_rate=0.05, id_layout="dense"
+    )
+    monkeypatch.setattr(bb, "PIECE_FLUSH_ELEMS", 4 << 20)
+    unchunked = bloom_remove_distributed(
+        copy.deepcopy(filt), df.filter("id % 3 = 0").coalesce(1), "key", id_col="id"
+    )
+    monkeypatch.setattr(bb, "PIECE_FLUSH_ELEMS", 1024)
+    chunked_rm = bloom_remove_distributed(
+        copy.deepcopy(filt), df.filter("id % 3 = 0").coalesce(1), "key", id_col="id"
+    )
+    assert chunked_rm.to_bytes() == unchunked.to_bytes()
+
+
+def test_approx_n_keys_slack_covers_undershoot(spark):
+    """Filter pricing uses approx_count_distinct (map-side HLL
+    partials — no distinct Exchange just for planning); the 1.1x+64
+    slack must cover the 2% rsd so the filter is never undersized."""
+    from dablooms_spark.operators.bloom_probe import _approx_n_keys
+
+    df = spark.range(10_000).select(F.col("id").cast("string").alias("k"))
+    n = _approx_n_keys(df, "k")
+    assert 10_000 <= n <= int(10_000 * 1.25)

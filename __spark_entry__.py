@@ -540,6 +540,30 @@ def _q_kll_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "q")
 
 
+def _q_tdigest_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The t-digest pipeline in its EXACT regime, oracle-checked (the
+    kll_quantiles_exact recipe applied to t-digest): the input is the
+    DISTINCT floor(value) per group — ≤ ~101 weight-1 points per group,
+    far under delta=65536, so every point stays its own singleton
+    centroid through the distributed build AND the per-group blob
+    merges (the k1 bins are ~pi/delta wide mid-range, narrower than the
+    1/n midpoint spacing, and merging identical singleton sets is
+    idempotent). quantile(q) is then EXACTLY np.interp over midpoint
+    knots x_i = i-0.5 with vmin/vmax anchors — a closed formula the SQL
+    oracle reproduces term by term (all knots are integers/halves:
+    float-exact in both engines). Same operator and merge path as the
+    approximate delta=200 query; only the accuracy knob differs."""
+    from dablooms_spark.operators.sketch_agg import quantiles_by
+
+    events = load_table(spark, sf_dir, "events")
+    pts = events.select(
+        "event_type", F.floor("value").cast("double").alias("v")
+    ).distinct()
+    return quantiles_by(
+        pts, "event_type", "v", [0.25, 0.5, 0.75], kind="tdigest", delta=65536
+    ).orderBy("event_type", "q")
+
+
 # ---- training-data pipeline queries ---------------------------------------
 
 
@@ -747,12 +771,42 @@ def _q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_planted_fixture(spark: SparkSession, sf_dir: str):
+    """(corpus, queries) where every query's ENTIRE top-5 is its
+    identity class — the provable-recall-1 fixture (same recipe that
+    made minhash/simhash oracle-exact). Each query vector (vec_id<10)
+    is planted 5 more times at vec_id + r*100000: identical bytes ⇒
+    cosine exactly 1.0 (the max), strictly above any non-parallel
+    vector, so brute-force top-5 = the 5 lowest-id class members —
+    and identical bytes ⇒ identical hyperplane codes / identical
+    nearest-centroid cells, so LSH buckets and IVF probed cells
+    provably contain the whole class. ANN output == brute force ==
+    the DuckDB oracle, with no recall luck involved."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    planted = queries_df.select(
+        "vec_id", "embedding",
+        F.explode(F.sequence(F.lit(1), F.lit(5))).alias("__r"),
+    ).select(
+        (F.col("vec_id") + F.col("__r") * 100_000).alias("vec_id"),
+        "embedding",
+    )
+    return emb.unionByName(planted), queries_df
+
+
 def _q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN — ORACLE-EXACT on the planted identity-class
+    fixture (recall provably 1, see _ann_planted_fixture); the general
+    probabilistic-recall regime stays bounded in pytest."""
     from dablooms_spark.operators.similarity import lsh_topk
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries_df = emb.filter(F.col("vec_id") < 10)
-    return lsh_topk(emb, queries_df, k=5, nbits=4)
+    corpus, queries_df = _ann_planted_fixture(spark, sf_dir)
+    out = lsh_topk(corpus, queries_df, k=5, nbits=4)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.col("sim") * 1_000_000).cast("long").alias("sim_micro"),
+    )
 
 
 def _q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -919,14 +973,23 @@ def _q_salted_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN — ORACLE-EXACT on the planted identity-class fixture
+    (identical vectors share their nearest cell, and a query's nprobe
+    set always contains its own argmax cell ⇒ the whole class is
+    probed: recall provably 1, see _ann_planted_fixture). replicas=2
+    multi-assignment (the boundary-recall trade, 0.69 -> 0.89 measured
+    on the general corpus) stays on and stays bounded in pytest."""
     from dablooms_spark.operators.similarity import ivf_topk
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries_df = emb.filter(F.col("vec_id") < 10)
-    # replicas=2: multi-assign each vector to its 2 nearest cells —
-    # recovers boundary-vector recall (0.69 -> 0.89 measured) for 2x
-    # index size
-    return ivf_topk(emb, queries_df, k=5, num_centroids=8, nprobe=3, replicas=2)
+    corpus, queries_df = _ann_planted_fixture(spark, sf_dir)
+    out = ivf_topk(
+        corpus, queries_df, k=5, num_centroids=8, nprobe=3, replicas=2
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.col("sim") * 1_000_000).cast("long").alias("sim_micro"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -950,6 +1013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_users_by_type": _q_distinct_users_by_type,
         "hll_distinct_by_type": _q_hll_distinct_by_type,
         "value_quantiles_tdigest": _q_value_quantiles_tdigest,
+        "tdigest_quantiles_exact": _q_tdigest_quantiles_exact,
         "value_quantiles_kll": _q_value_quantiles_kll,
         "kll_quantiles_exact": _q_kll_quantiles_exact,
         "token_count_docs": _q_token_count,
@@ -1039,6 +1103,60 @@ def oracle_sql() -> dict[str, str]:
                          (CAST(0.9 AS DOUBLE))) qs(q)
             WHERE rn = CAST(ceiling(q * cnt) AS BIGINT)
             ORDER BY event_type, q
+        """,
+        # mirrors TDigest.quantile's np.interp over midpoint knots
+        # (x_i = i-0.5, vmin/vmax anchors) in the singleton-centroid
+        # regime — see _q_tdigest_quantiles_exact for the argument
+        "tdigest_quantiles_exact": """
+            WITH pts AS (
+                SELECT DISTINCT event_type,
+                       CAST(floor(value) AS DOUBLE) AS v
+                FROM events WHERE value IS NOT NULL
+            ),
+            stats AS (
+                SELECT event_type, COUNT(*) AS n, MIN(v) AS vmin, MAX(v) AS vmax
+                FROM pts GROUP BY event_type
+            ),
+            ranked AS (
+                SELECT event_type, v,
+                       row_number() OVER (
+                           PARTITION BY event_type ORDER BY v
+                       ) AS rn
+                FROM pts
+            ),
+            knots AS (
+                SELECT event_type, rn - 0.5 AS x, v AS y FROM ranked
+                UNION ALL SELECT event_type, 0.0, vmin FROM stats
+                UNION ALL SELECT event_type, CAST(n AS DOUBLE), vmax FROM stats
+            ),
+            targets AS (
+                SELECT s.event_type, q.q, q.q * s.n AS t
+                FROM stats s CROSS JOIN (
+                    VALUES (CAST(0.25 AS DOUBLE)), (CAST(0.5 AS DOUBLE)),
+                           (CAST(0.75 AS DOUBLE))
+                ) q(q)
+            ),
+            lo AS (
+                SELECT t.event_type, t.q, max(k.x) AS x0, max_by(k.y, k.x) AS y0
+                FROM targets t JOIN knots k
+                  ON k.event_type = t.event_type AND k.x <= t.t
+                GROUP BY t.event_type, t.q
+            ),
+            hi AS (
+                SELECT t.event_type, t.q, min(k.x) AS x1, min_by(k.y, k.x) AS y1
+                FROM targets t JOIN knots k
+                  ON k.event_type = t.event_type AND k.x >= t.t
+                GROUP BY t.event_type, t.q
+            )
+            SELECT t.event_type AS event_type, t.q AS q,
+                   CASE WHEN hi.x1 = lo.x0 THEN lo.y0
+                        ELSE lo.y0 + (hi.y1 - lo.y0) / (hi.x1 - lo.x0)
+                             * (t.t - lo.x0)
+                   END AS value
+            FROM targets t
+            JOIN lo ON lo.event_type = t.event_type AND lo.q = t.q
+            JOIN hi ON hi.event_type = t.event_type AND hi.q = t.q
+            ORDER BY t.event_type, t.q
         """,
         "sql_udaf_distinct": """
             SELECT event_type,
@@ -1355,6 +1473,40 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, sim_micro FROM ranked WHERE rn <= 5
         """,
+        # see _ann_planted_fixture: ANN recall is provably 1 on the
+        # planted identity classes, so the ANN result equals this
+        # brute-force ranking over the augmented corpus
+        "lsh_ann_topk": """
+            WITH copies AS (
+                SELECT vec_id + 100000 * r AS vec_id, embedding
+                FROM embeddings
+                CROSS JOIN (SELECT unnest(generate_series(1, 5)) AS r)
+                WHERE vec_id < 10
+            ),
+            corpus AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL SELECT vec_id, embedding FROM copies
+            ),
+            q AS (
+                SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+                FROM embeddings WHERE vec_id < 10
+            ),
+            c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM corpus),
+            sims AS (
+                SELECT qid, cid, list_cosine_similarity(qv, cv) AS sim
+                FROM q CROSS JOIN c
+            ),
+            ranked AS (
+                SELECT qid AS query_id, cid AS neighbor_id,
+                       CAST(round(round(sim, 6) * 1000000) AS BIGINT) AS sim_micro,
+                       row_number() OVER (
+                           PARTITION BY qid
+                           ORDER BY round(sim, 6) DESC, cid ASC
+                       ) AS rn
+                FROM sims
+            )
+            SELECT query_id, neighbor_id, sim_micro FROM ranked WHERE rn <= 5
+        """,
         "media_meta_docs": """
             SELECT doc_id,
                    octet_length(CAST(text AS BLOB)) AS media_bytes,
@@ -1455,8 +1607,42 @@ def oracle_sql() -> dict[str, str]:
             FROM dense
             GROUP BY doc_id
         """,
-        # hll_distinct_by_type / value_quantiles_* / lsh_ann_topk /
-        # ivf_ann_topk / hll_rollup_distinct are approximate or not
-        # SQL-expressible → rows-only driver checks; pytest asserts
-        # accuracy/recall bounds.
+        # ivf_ann_topk: identical fixture and brute-force ranking as
+        # lsh_ann_topk (recall provably 1 for both index types on the
+        # planted identity classes)
+        "ivf_ann_topk": """
+            WITH copies AS (
+                SELECT vec_id + 100000 * r AS vec_id, embedding
+                FROM embeddings
+                CROSS JOIN (SELECT unnest(generate_series(1, 5)) AS r)
+                WHERE vec_id < 10
+            ),
+            corpus AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL SELECT vec_id, embedding FROM copies
+            ),
+            q AS (
+                SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+                FROM embeddings WHERE vec_id < 10
+            ),
+            c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM corpus),
+            sims AS (
+                SELECT qid, cid, list_cosine_similarity(qv, cv) AS sim
+                FROM q CROSS JOIN c
+            ),
+            ranked AS (
+                SELECT qid AS query_id, cid AS neighbor_id,
+                       CAST(round(round(sim, 6) * 1000000) AS BIGINT) AS sim_micro,
+                       row_number() OVER (
+                           PARTITION BY qid
+                           ORDER BY round(sim, 6) DESC, cid ASC
+                       ) AS rn
+                FROM sims
+            )
+            SELECT query_id, neighbor_id, sim_micro FROM ranked WHERE rn <= 5
+        """,
+        # hll_distinct_by_type / value_quantiles_tdigest /
+        # value_quantiles_kll / hll_rollup_distinct are estimator
+        # outputs (hash-exactness impossible) → rows-only driver
+        # checks; pytest asserts accuracy bounds.
     }

@@ -399,6 +399,61 @@ def _q_streaming_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_streaming_first_seen_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time streaming dedup with a LATE-DATA story, through the
+    driver gate: the month's events split at a fixed calendar cutoff —
+    the NEWER half streams first, then the older half arrives as a
+    second availableNow micro-batch. After batch 1 the watermark sits
+    at max(ts)-1h (late January), so every batch-2 row (ts < Jan 16)
+    is beyond the watermark and must be dropped by the operator's
+    late filter — a late first occurrence is lost, not resurrected.
+    The oracle is therefore exactly the first-seen set of the newer
+    half: one row per key with its earliest event time. Emitted
+    payloads are deterministic (order_col=ts + cross-chunk candidate
+    reduction; (ukey, min_ts) is unique even under ts ties)."""
+    import tempfile
+
+    from dablooms_spark.streaming import streaming_first_seen_event_time
+
+    cutoff = "2024-01-16 00:00:00"
+    events = load_table(spark, sf_dir, "events").select(
+        # parquet surfaces ts as TIMESTAMP_NTZ; watermarks require the
+        # session-zoned TIMESTAMP type (values unchanged — session UTC)
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.concat_ws(":", "user_id", "event_type").alias("ukey"),
+    )
+    src_dir = tempfile.mkdtemp(prefix="dablooms_fsl_src_")
+    events.filter(F.col("ts") >= cutoff).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+    events.filter(F.col("ts") < cutoff).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    out = streaming_first_seen_event_time(
+        stream, "ukey", "ts", capacity=20000, error_rate=0.01,
+        delay="1 hour", num_shards=8,
+    )
+    sink = "first_seen_late_sink"
+    if sink in [t.name for t in spark.catalog.listTables()]:
+        spark.catalog.dropTempView(sink)
+    ckpt = tempfile.mkdtemp(prefix="dablooms_fsl_ckpt_")
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(f"SELECT ukey, ts AS first_ts FROM {sink}")
+
+
 def _q_windowed_distinct_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming through the driver gate: an availableNow
     file-stream run of windowed_distinct_stream (applyInPandasWithState,
@@ -639,8 +694,10 @@ def _q_url_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .when(
             i % 3 == 1,
+            # co.uk host: exercises the PSL-aware registered-domain
+            # fold (naive last-two-labels would emit just "co.uk")
             F.concat(
-                F.lit("http://host-"), host_n, F.lit(".example.com:8080/x/"), ids
+                F.lit("http://host-"), host_n, F.lit(".example.co.uk:8080/x/"), ids
             ),
         )
         .otherwise(
@@ -1005,6 +1062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_distinct_stream": _q_windowed_distinct_stream,
         "incremental_new_users": _q_incremental_new_users,
         "streaming_first_seen_keys": _q_streaming_first_seen,
+        "streaming_first_seen_late": _q_streaming_first_seen_late,
         "sql_udaf_distinct": _q_sql_udaf_distinct,
         "bloom_anti_join_lineitem": _q_bloom_anti_join_lineitem,
         "scaling_bloom_membership": _q_scaling_bloom_membership,
@@ -1047,6 +1105,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from dablooms_spark.operators.urlops import PSL_MULTI_LABEL_SUFFIXES
+
+    # the SAME vendored suffix subset the Spark expression compiles in,
+    # rendered as a SQL IN list so the two sides can never drift
+    psl_in = ", ".join(f"'{s}'" for s in PSL_MULTI_LABEL_SUFFIXES)
     return {
         "bloom_semi_join_orders": """
             SELECT o_orderkey, o_custkey
@@ -1330,6 +1393,16 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY user_id, event_type
         """,
+        # late-data twin: batch 2 (ts < Jan 16) is entirely beyond the
+        # watermark and dropped, so the emitted set is exactly the
+        # first-seen of the newer half with per-key earliest ts
+        "streaming_first_seen_late": """
+            SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS ukey,
+                   MIN(ts) AS first_ts
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+            GROUP BY user_id, event_type
+        """,
         "incremental_new_users": """
             SELECT user_id,
                    CAST(MIN(CASE
@@ -1351,7 +1424,7 @@ def oracle_sql() -> dict[str, str]:
                            || '?b=2&utm_source=x&a=1#f'
                          WHEN doc_id % 3 = 1 THEN
                            'http://host-' || CAST(doc_id % 37 AS VARCHAR)
-                           || '.example.com:8080/x/' || CAST(doc_id AS VARCHAR)
+                           || '.example.co.uk:8080/x/' || CAST(doc_id AS VARCHAR)
                          ELSE
                            'https://Sub.Host-' || CAST(doc_id % 37 AS VARCHAR)
                            || '.Example.COM?z=' || CAST(doc_id % 5 AS VARCHAR)
@@ -1390,11 +1463,26 @@ def oracle_sql() -> dict[str, str]:
                      CASE WHEN joined = '' THEN '' ELSE '?' || joined END
                    END AS canonical_url,
                    host,
-                   regexp_extract(host, '([^.]+\.[^.]+)$', 1)
-                       AS registered_domain,
+                   CASE
+                     WHEN len(string_split(host, '.')) >= 3
+                          AND list_extract(string_split(host, '.'), -2)
+                              || '.' ||
+                              list_extract(string_split(host, '.'), -1)
+                              IN (__PSL_IN__)
+                     THEN list_extract(string_split(host, '.'), -3)
+                          || '.' ||
+                          list_extract(string_split(host, '.'), -2)
+                          || '.' ||
+                          list_extract(string_split(host, '.'), -1)
+                     WHEN len(string_split(host, '.')) >= 2
+                     THEN list_extract(string_split(host, '.'), -2)
+                          || '.' ||
+                          list_extract(string_split(host, '.'), -1)
+                     ELSE ''
+                   END AS registered_domain,
                    path
             FROM h
-        """,
+        """.replace("__PSL_IN__", psl_in),
         "host_counts_salted": """
             SELECT lower(regexp_extract(
                        'https://Host-' || CAST(doc_id % 7 AS VARCHAR)

@@ -70,11 +70,84 @@ def url_path(url: str | Column) -> Column:
 
 
 def url_registered_domain(url: str | Column) -> Column:
-    """Last two dot-labels of the host. Deliberately naive (no public
-    suffix list — co.uk-style suffixes fold wrong); documented and
-    identical in the SQL oracle. A PSL join is a broadcast lookup a
-    production deployment would add."""
+    """Last two dot-labels of the host — the NAIVE twin, kept for the
+    no-data path (no suffix table in reach) and as the differential
+    baseline. co.uk-style suffixes fold wrong here by design; use
+    url_registered_domain_psl (the with_url_parts default) for
+    PSL-aware folding."""
     return F.regexp_extract(url_host(url), _REG_DOMAIN_RE, 1)
+
+
+# Vendored subset of the Public Suffix List (publicsuffix.org — public
+# data, MPL 2.0): the multi-label ccTLD suffixes a web crawl most
+# commonly hits. The full list (wildcard *.ck-style rules, 3+-label
+# entries, exceptions) is pluggable via the multi_suffixes argument —
+# this subset covers the co.uk/com.au class where the naive
+# last-two-labels rule folds unrelated registrants together.
+PSL_MULTI_LABEL_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "ltd.uk",
+    "plc.uk", "sch.uk", "nhs.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "id.au", "asn.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp", "ad.jp", "ed.jp",
+    "gr.jp", "lg.jp",
+    "com.br", "net.br", "org.br", "gov.br", "edu.br",
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "school.nz",
+    "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in",
+    "ac.in", "edu.in", "gov.in", "res.in", "nic.in",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    "com.mx", "net.mx", "org.mx", "gob.mx", "edu.mx",
+    "co.za", "net.za", "org.za", "gov.za", "edu.za", "ac.za", "web.za",
+    "com.sg", "net.sg", "org.sg", "edu.sg", "gov.sg",
+    "com.hk", "net.hk", "org.hk", "edu.hk", "gov.hk", "idv.hk",
+    "com.tw", "net.tw", "org.tw", "edu.tw", "gov.tw", "idv.tw",
+    "com.tr", "net.tr", "org.tr", "gov.tr", "edu.tr",
+    "com.ar", "net.ar", "org.ar", "gob.ar", "edu.ar",
+    "co.kr", "ne.kr", "or.kr", "re.kr", "go.kr", "ac.kr", "pe.kr",
+    "com.my", "net.my", "org.my", "gov.my", "edu.my",
+    "co.id", "net.id", "or.id", "go.id", "ac.id", "web.id",
+    "com.ua", "net.ua", "org.ua", "gov.ua", "edu.ua", "in.ua",
+    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl",
+    "co.il", "net.il", "org.il", "gov.il", "ac.il", "muni.il",
+    "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn",
+    "com.ph", "net.ph", "org.ph", "edu.ph", "gov.ph",
+    "com.eg", "net.eg", "org.eg", "edu.eg", "gov.eg",
+    "com.sa", "net.sa", "org.sa", "edu.sa", "gov.sa", "med.sa",
+    "co.th", "in.th", "or.th", "ac.th", "go.th",
+    "com.ng", "net.ng", "org.ng", "edu.ng", "gov.ng",
+    "com.pk", "net.pk", "org.pk", "edu.pk", "gov.pk",
+    "com.bd", "net.bd", "org.bd", "edu.bd", "gov.bd",
+    "co.ke", "or.ke", "ne.ke", "go.ke", "ac.ke",
+)
+
+
+def url_registered_domain_psl(
+    url: str | Column,
+    multi_suffixes: tuple[str, ...] | list[str] | None = None,
+) -> Column:
+    """Registered domain with Public-Suffix-List-aware folding: one
+    label more than the longest matching public suffix. The vendored
+    2-label subset handles the co.uk/com.au class; pass the full PSL's
+    multi-label entries via multi_suffixes for complete coverage.
+    Still a pure Catalyst expression — the suffix set compiles to an
+    IN list, map-only at any scale (the full PSL as a broadcast join
+    is the alternative when the set is too large to inline)."""
+    suffixes = list(multi_suffixes or PSL_MULTI_LABEL_SUFFIXES)
+    host = url_host(url)
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(
+        ".", F.element_at(labels, -2), F.element_at(labels, -1)
+    )
+    last3 = F.concat_ws(
+        ".", F.element_at(labels, -3), F.element_at(labels, -2),
+        F.element_at(labels, -1),
+    )
+    return (
+        F.when(host.isNull(), F.lit(None).cast("string"))  # NULL in, NULL out — matches the naive twin
+        .when((n >= 3) & last2.isin(suffixes), last3)
+        .when(n >= 2, last2)
+        .otherwise(F.lit(""))
+    )
 
 
 def _canonical_query(url: Column) -> Column:
@@ -111,15 +184,19 @@ def canonicalize_url(url: str | Column) -> Column:
 
 
 def with_url_parts(
-    df: DataFrame, url_col: str = "url", prefix: str = ""
+    df: DataFrame, url_col: str = "url", prefix: str = "", psl: bool = True
 ) -> DataFrame:
     """Adds canonical_url, host, registered_domain, path columns
-    (optionally prefixed). One map-only projection."""
+    (optionally prefixed). One map-only projection. psl=True (default)
+    folds registered_domain with the vendored Public-Suffix-List
+    subset (co.uk-aware); psl=False keeps the naive last-two-labels
+    twin."""
     u = F.col(url_col)
+    regdom = url_registered_domain_psl(u) if psl else url_registered_domain(u)
     return (
         df.withColumn(prefix + "canonical_url", canonicalize_url(u))
         .withColumn(prefix + "host", url_host(u))
-        .withColumn(prefix + "registered_domain", url_registered_domain(u))
+        .withColumn(prefix + "registered_domain", regdom)
         .withColumn(prefix + "path", url_path(u))
     )
 

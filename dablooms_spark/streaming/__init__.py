@@ -1,9 +1,15 @@
-from dablooms_spark.streaming.dedup import streaming_first_seen
+from dablooms_spark.streaming.dedup import (
+    default_first_seen_shards,
+    streaming_first_seen,
+    streaming_first_seen_event_time,
+)
 from dablooms_spark.streaming.incremental import streaming_bloom_update
 from dablooms_spark.streaming.windowed import windowed_distinct_stream
 
 __all__ = [
+    "default_first_seen_shards",
     "streaming_bloom_update",
     "streaming_first_seen",
+    "streaming_first_seen_event_time",
     "windowed_distinct_stream",
 ]

@@ -13,26 +13,61 @@ stream length, at the cost of an ε-bounded false-positive loss:
     false negatives — the dedup guarantee is hard).
 
 Rows are emitted with their original columns. Within one micro-batch
-a key is emitted at most once (first row in batch order).
+a key is emitted at most once (the order_col-smallest row when
+order_col is given — deterministic across Arrow chunking — else the
+first row in chunk order).
 
 State restore/replay comes from Structured Streaming's checkpoint;
 the blob round-trips through the same serde as every other filter, so
 a stream-built dedup filter can be merged or probed batch-side.
+
+Sizing (see default_first_seen_shards): each shard holds ONE blob of
+geometry (capacity/num_shards, error_rate) — a key's hash routes it to
+exactly one shard, so ε needs no splitting and total state across
+shards ≈ one capacity-sized filter:
+
+    capacity      shards (default)   per-shard state   total state
+    ------------  -----------------  ----------------  -----------
+    10^6          8                  ~600 kB           ~4.8 MB
+    10^8          100                ~4.8 MB           ~480 MB
+    10^10         10 000             ~4.8 MB           ~48 GB
+    10^12         1 000 000          ~4.8 MB           ~4.8 TB
+
+(per-shard bytes = ceil(9.585·capacity/shards / 2) at ε=0.01 — two
+4-bit counters per byte, dense worst case.) The default targets
+~10^6 keys (~4.8 MB of nibbles at ε=0.01) per shard: small enough
+that the per-micro-batch state rewrite (cost ∝ blob size, not batch
+size) stays cheap, large enough that shard count — which also caps
+the operator's parallelism — stays manageable. A shard blob over
+state_budget_bytes triggers a warning telling the caller to raise
+num_shards.
 """
 
 from __future__ import annotations
 
+import warnings
 from typing import Any, Iterator, Tuple
 
 import numpy as np
 import pandas as pd
 
 from dablooms_spark.core.counting_bloom import CountingBloom
+from dablooms_spark.core.geometry import BloomGeometry
 from dablooms_spark.functions.murmur import DABLOOMS_SEED, dablooms_hash_words
 
 STATE_SCHEMA = "blob binary"
 _KEY = "__fs_key"
 _SHARD = "__fs_shard"
+
+#: per-shard serialized-filter budget before a sizing warning fires;
+#: the blob is rewritten to the state store every micro-batch the
+#: shard is touched, so its size is the per-batch fixed cost
+DEFAULT_STATE_BUDGET_BYTES = 32 << 20
+
+
+def default_first_seen_shards(capacity: int) -> int:
+    """shards ≈ capacity / 10^6, floor 8 — the module sizing table."""
+    return max(8, -(-int(capacity) // 1_000_000))
 
 
 def make_first_seen_updater(
@@ -42,16 +77,32 @@ def make_first_seen_updater(
     out_columns: list[str],
     seed: int = DABLOOMS_SEED,
     order_col: str | None = None,
+    late_ts_col: str | None = None,
 ):
     """State-update fn for applyInPandasWithState: group = shard,
     state = one counting-bloom blob, output = first-seen input rows
     (original columns).
 
-    order_col: when given, ties within a chunk resolve to the row with
-    the smallest order value (deterministic emitted payloads when a
-    shard's micro-batch fits one Arrow chunk — the emitted KEY set is
-    deterministic regardless). Without it, "first" is chunk order."""
-    eps_shard = error_rate / num_shards
+    Per-shard geometry is (capacity/num_shards, error_rate): a key's
+    hash routes every occurrence to exactly ONE shard, so the error
+    budget needs no splitting (same argument as the batch sharded
+    builder) and total state across shards ≈ one capacity-sized
+    filter.
+
+    order_col: when given, each micro-batch emits the order_col-
+    SMALLEST row per fresh key, deterministically — candidate rows are
+    reduced per Arrow chunk and re-reduced across chunks before the
+    filter probe, so chunking never changes the emitted payload
+    (memory for the candidate buffer is O(distinct new keys per shard
+    per batch), the size of the output itself). Without it, "first" is
+    chunk order and only the emitted KEY set is deterministic.
+
+    late_ts_col: event-time column checked against the query's
+    current watermark (state.getCurrentWatermarkMs) — rows strictly
+    older are DROPPED here, because Spark leaves late-data filtering
+    to the user function for arbitrary stateful ops (it auto-filters
+    only for built-in aggregations/joins)."""
+    cap_shard = max(1, int(capacity) // max(1, num_shards))
 
     def update(
         key: Tuple[Any, ...],
@@ -62,15 +113,33 @@ def make_first_seen_updater(
             (blob,) = state.get
             cb = CountingBloom.from_bytes(bytes(blob), seed=seed)
         else:
-            cb = CountingBloom(capacity, eps_shard, seed=seed)
+            cb = CountingBloom(cap_shard, error_rate, seed=seed)
+        wm_thr = None
+        if late_ts_col is not None:
+            wm_ms = state.getCurrentWatermarkMs()
+            if wm_ms > 0:
+                wm_thr = pd.Timestamp(wm_ms, unit="ms")
+        cand: list[pd.DataFrame] = []
         for pdf in pdfs:
+            if wm_thr is not None and not pdf.empty:
+                ts = pdf[late_ts_col]
+                thr = wm_thr
+                if getattr(ts.dt, "tz", None) is not None:
+                    thr = wm_thr.tz_localize("UTC").tz_convert(ts.dt.tz)
+                pdf = pdf[ts >= thr]
             if pdf.empty:
                 continue
             if order_col is not None:
                 pdf = pdf.sort_values(order_col, kind="mergesort")
-            # one candidate row per key per batch: first in (sorted)
-            # chunk order
-            firsts = pdf.drop_duplicates(subset=[_KEY], keep="first")
+            # one candidate row per key per CHUNK...
+            cand.append(pdf.drop_duplicates(subset=[_KEY], keep="first"))
+        if cand:
+            allc = pd.concat(cand) if len(cand) > 1 else cand[0]
+            if order_col is not None and len(cand) > 1:
+                allc = allc.sort_values(order_col, kind="mergesort")
+            # ...then one per key per BATCH, so the emitted row does
+            # not depend on how Arrow chunked the group
+            firsts = allc.drop_duplicates(subset=[_KEY], keep="first")
             keys = firsts[_KEY].to_numpy(dtype=object)
             h1, h2 = dablooms_hash_words(keys, seed)
             seen = cb.check_hashed(h1, h2)
@@ -88,20 +157,42 @@ def streaming_first_seen(
     key_col: str,
     capacity: int,
     error_rate: float,
-    num_shards: int = 8,
+    num_shards: int | None = None,
     seed: int = DABLOOMS_SEED,
     order_col: str | None = None,
+    state_budget_bytes: int = DEFAULT_STATE_BUDGET_BYTES,
+    late_ts_col: str | None = None,
 ):
     """Emit each stream row whose key has never been seen before, with
-    bounded state (per-shard counting blooms, ε budget split across
-    shards like the batch builder). Returns a streaming DataFrame with
-    stream_df's columns; attach a sink + checkpointLocation.
+    bounded state (per-shard counting blooms — see the module sizing
+    table). Returns a streaming DataFrame with stream_df's columns;
+    attach a sink + checkpointLocation.
+
+    num_shards defaults to default_first_seen_shards(capacity)
+    (shards ≈ capacity/10^6, floor 8). Shard count is also the
+    operator's parallelism cap; a per-shard blob over
+    state_budget_bytes warns to raise num_shards (the state store
+    rewrites the whole blob every touched micro-batch).
 
     Key-hash sharding sends every occurrence of a key to the same
     group, so the no-duplicate guarantee holds across micro-batches
     and executors."""
     from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if num_shards is None:
+        num_shards = default_first_seen_shards(capacity)
+    cap_shard = max(1, int(capacity) // max(1, num_shards))
+    blob_bytes = BloomGeometry(cap_shard, error_rate).num_nibble_bytes
+    if blob_bytes > state_budget_bytes:
+        warnings.warn(
+            f"streaming_first_seen: per-shard filter is ~{blob_bytes >> 20} MB "
+            f"(capacity={capacity}, num_shards={num_shards}), over the "
+            f"{state_budget_bytes >> 20} MB state budget — the blob is "
+            "rewritten to the state store every touched micro-batch; "
+            "raise num_shards (shards ~ capacity/1e6 keeps shards ~5 MB)",
+            stacklevel=2,
+        )
 
     out_columns = list(stream_df.columns)
     keyed = stream_df.withColumn(
@@ -111,7 +202,8 @@ def streaming_first_seen(
         _SHARD, F.pmod(F.xxhash64(F.col(_KEY)), F.lit(num_shards))
     )
     update = make_first_seen_updater(
-        capacity, error_rate, num_shards, out_columns, seed, order_col
+        capacity, error_rate, num_shards, out_columns, seed, order_col,
+        late_ts_col,
     )
     out_schema = keyed.select(*out_columns).schema
     return keyed.groupBy(_SHARD).applyInPandasWithState(
@@ -120,4 +212,45 @@ def streaming_first_seen(
         stateStructType=STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_first_seen_event_time(
+    stream_df,
+    key_col: str,
+    ts_col: str,
+    capacity: int,
+    error_rate: float,
+    delay: str = "1 hour",
+    num_shards: int | None = None,
+    seed: int = DABLOOMS_SEED,
+    state_budget_bytes: int = DEFAULT_STATE_BUDGET_BYTES,
+):
+    """Event-time variant of streaming_first_seen with a late-data
+    story: `withWatermark(ts_col, delay)` bounds how far event time
+    may lag the stream's frontier.
+
+    Semantics per key:
+      * within the watermark, out-of-order rows dedup exactly like the
+        base operator, and each micro-batch emits the EARLIEST-event-
+        time row of a fresh key (order_col=ts_col) — the analogue of
+        scaling_bloom_add routing an out-of-order insert to the layer
+        its id owns rather than the newest one;
+      * rows strictly older than the current watermark are DROPPED
+        (standard Structured Streaming lateness loss — state for
+        their era may already be summarized, exactly why the
+        watermark exists). A late FIRST occurrence beyond the
+        watermark is therefore lost, not resurrected. Spark performs
+        this filtering automatically only for built-in stateful
+        aggregations; for arbitrary stateful ops it is the operator's
+        job, done here against state.getCurrentWatermarkMs().
+
+    The filter state itself never expires (first-seen is a
+    full-history question — that is the point of the bloom bound);
+    the watermark governs admission, not state eviction."""
+    wm = stream_df.withWatermark(ts_col, delay)
+    return streaming_first_seen(
+        wm, key_col, capacity, error_rate, num_shards, seed,
+        order_col=ts_col, state_budget_bytes=state_budget_bytes,
+        late_ts_col=ts_col,
     )

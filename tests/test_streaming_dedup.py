@@ -75,3 +75,91 @@ def test_streaming_first_seen_state_is_blob_sized(spark, tmp_path_factory):
         cb2.add([f"k{i}".encode() for i in range(1000)])
         cb = cb.merge(cb2)
     assert len(cb.to_bytes()) <= cb.geometry.size + 128
+
+
+def test_streaming_first_seen_event_time_late_data(spark, tmp_path_factory):
+    """Watermark semantics: rows older than the watermark are dropped
+    before the stateful operator (a late FIRST occurrence beyond the
+    watermark is lost), slightly-late rows inside the watermark are
+    admitted, and within a batch the EARLIEST-event-time row per key
+    is the one emitted."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from dablooms_spark.streaming import streaming_first_seen_event_time
+
+    day20 = dt.datetime(2024, 1, 20, 10, 0, 0)
+    src = str(tmp_path_factory.mktemp("fs_et_src"))
+    ckpt = str(tmp_path_factory.mktemp("fs_et_ckpt"))
+
+    # batch 1: k0..k9 at day 20; k0 twice (10:00 and 09:00 — the
+    # earlier row must be the emitted one)
+    b1 = [(f"k{i}", day20) for i in range(10)]
+    b1.append(("k0", day20 - dt.timedelta(hours=1)))
+    # batch 2: k5..k14 at day 1 (beyond the 1h watermark -> dropped;
+    # k10..k14 are lost first occurrences), k20 thirty minutes behind
+    # the frontier (inside the watermark -> admitted)
+    b2 = [(f"k{i}", dt.datetime(2024, 1, 1, 0, 0, 0)) for i in range(5, 15)]
+    b2.append(("k20", day20 - dt.timedelta(minutes=30)))
+
+    schema = "key string, ts timestamp"
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = streaming_first_seen_event_time(
+        stream, "key", "ts", capacity=10_000, error_rate=0.01,
+        delay="1 hour", num_shards=4,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("fs_et_sink")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = {r["key"]: r["ts"] for r in spark.sql("SELECT * FROM fs_et_sink").collect()}
+    assert set(rows) == {f"k{i}" for i in range(10)} | {"k20"}
+    # order_col=ts: k0's emitted row is the 09:00 one
+    assert rows["k0"] == day20 - dt.timedelta(hours=1)
+    spark.catalog.dropTempView("fs_et_sink")
+
+
+def test_first_seen_shard_sizing_defaults_and_warning(spark):
+    """shards ~ capacity/1e6 (floor 8); an over-budget per-shard blob
+    warns instead of silently committing to a multi-GB state rewrite
+    per micro-batch."""
+    import warnings as _w
+
+    from dablooms_spark.core.geometry import BloomGeometry
+    from dablooms_spark.streaming import (
+        default_first_seen_shards,
+        streaming_first_seen,
+    )
+
+    assert default_first_seen_shards(1_000) == 8
+    assert default_first_seen_shards(10**8) == 100
+    assert default_first_seen_shards(10**10) == 10_000
+    # per-shard blob at the default sizing stays ~5 MB dense
+    shards = default_first_seen_shards(10**8)
+    assert BloomGeometry(10**8 // shards, 0.01).num_nibble_bytes < 6 << 20
+
+    # a deliberately under-sharded stream warns (plan-time only — no
+    # query started)
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+        .withColumn("key", F.col("value").cast("string"))
+    )
+    with _w.catch_warnings(record=True) as got:
+        _w.simplefilter("always")
+        streaming_first_seen(
+            stream, "key", capacity=400_000_000, error_rate=0.01, num_shards=8
+        )
+    assert any("state budget" in str(w.message) for w in got)

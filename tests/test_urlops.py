@@ -217,3 +217,43 @@ def test_repetition_scores_map_only(spark):
     df = spark.createDataFrame([(0, "a b c a b")], ["doc_id", "text"])
     plan = with_repetition_scores(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_registered_domain_psl(spark):
+    """PSL-aware folding: co.uk/com.au-class suffixes keep the
+    registrant label; the naive twin stays available for the no-data
+    path and returns just the suffix there."""
+    from dablooms_spark.operators.urlops import (
+        url_registered_domain,
+        url_registered_domain_psl,
+    )
+
+    cases = [
+        ("https://shop.example.co.uk/x", "example.co.uk", "co.uk"),
+        ("http://a.b.news.com.au/p?q=1", "news.com.au", "com.au"),
+        ("https://example.com/a", "example.com", "example.com"),
+        ("https://deep.sub.example.com", "example.com", "example.com"),
+        ("http://localhost/x", "", ""),
+        ("not a url", "", ""),
+        ("https://go.jp", "go.jp", "go.jp"),  # bare suffix: nothing to fold
+    ]
+    df = spark.createDataFrame([(u,) for u, _, _ in cases], ["url"])
+    rows = {
+        r["url"]: (r["psl"], r["naive"])
+        for r in df.select(
+            "url",
+            url_registered_domain_psl("url").alias("psl"),
+            url_registered_domain("url").alias("naive"),
+        ).collect()
+    }
+    for u, psl_want, naive_want in cases:
+        assert rows[u] == (psl_want, naive_want), u
+    # with_url_parts defaults to PSL; psl=False restores the twin
+    parts = with_url_parts(df).select("url", "registered_domain").collect()
+    assert {r["url"]: r["registered_domain"] for r in parts}[
+        "https://shop.example.co.uk/x"
+    ] == "example.co.uk"
+    naive = with_url_parts(df, psl=False).select("url", "registered_domain")
+    assert {r["url"]: r["registered_domain"] for r in naive.collect()}[
+        "https://shop.example.co.uk/x"
+    ] == "co.uk"

@@ -191,6 +191,27 @@ def _artifact_bytes(blob_dir: str, layers_df: DataFrame) -> int:
     return int(row["b"] or 0)
 
 
+def _anti_from_flag(
+    probed: DataFrame,
+    key_col: str,
+    flag_col: str,
+    exact_seen_df: DataFrame | None,
+    exact_key: str | None,
+) -> DataFrame:
+    """bloom_anti_join's split semantics from a probed flag column:
+    misses are definite new keys (no false negatives); with an exact
+    seen-set the ε-sized hit set is verified by a real anti join."""
+    misses = probed.filter(~F.col(flag_col)).drop(flag_col)
+    if exact_seen_df is None:
+        return misses
+    ek = exact_key or key_col
+    dim = exact_seen_df.select(F.col(ek).alias("__ek")).distinct()
+    candidates = probed.filter(F.col(flag_col)).drop(flag_col)
+    return misses.unionByName(
+        candidates.join(dim, on=F.col(key_col) == F.col("__ek"), how="left_anti")
+    )
+
+
 def incremental_ingest_scaling(
     batch_df: DataFrame,
     key_col: str,
@@ -281,18 +302,9 @@ def incremental_ingest_scaling(
                 batch_df, key_col, one_shard, num_shards=1, salt=salt,
                 seed=seed, out_col="__seen",
             )
-            misses = probed.filter(~F.col("__seen")).drop("__seen")
-            if exact_seen_df is None:
-                new_rows = misses
-            else:
-                ek = exact_key or key_col
-                dim = exact_seen_df.select(F.col(ek).alias("__ek")).distinct()
-                candidates = probed.filter(F.col("__seen")).drop("__seen")
-                new_rows = misses.unionByName(
-                    candidates.join(
-                        dim, on=F.col(key_col) == F.col("__ek"), how="left_anti"
-                    )
-                )
+            new_rows = _anti_from_flag(
+                probed, key_col, "__seen", exact_seen_df, exact_key
+            )
     else:
         new_rows = batch_df
 
@@ -316,6 +328,114 @@ def incremental_ingest_scaling(
             "id_col": id_col,
             "capacity": capacity,
             "error_rate": error_rate,
+        },
+    )
+    return new_rows, seq
+
+
+def incremental_ingest_sharded_scaling(
+    batch_df: DataFrame,
+    key_col: str,
+    id_col: str,
+    checkpoint_path: str,
+    run_id: str,
+    capacity: int,
+    error_rate: float,
+    num_shards: int = 16,
+    seed: int = DABLOOMS_SEED,
+    exact_seen_df: DataFrame | None = None,
+    exact_key: str | None = None,
+    batch_tag: str | None = None,
+    salt: int = 8,
+) -> tuple[DataFrame, int]:
+    """The ingest loop at the fully SHARDED topology — the
+    beyond-EXECUTOR-memory end state. incremental_ingest_scaling's
+    distributed split still replicates the whole layer set to every
+    probe task; here the filter stays sharded end to end:
+
+      * restore  — the checkpoint artifact IS the sharded layer-row
+                   DataFrame (never assembled anywhere);
+      * split    — sharded_scaling_probe: each cogroup task holds ONE
+                   shard's layers (≈ filter_size / num_shards), so
+                   task memory is bounded by shard sizing, not filter
+                   size; same split guarantees as incremental_ingest;
+      * add      — the batch builds its own sharded layer rows (one
+                   map stage + piece-only exchange), unioned with the
+                   prior rows and collide-merged per (shard, first_id)
+                   (merge_sharded_layer_rows — counter-sum, so the
+                   committed artifact is bit-identical to a one-shot
+                   sharded build over all batches so far);
+      * commit   — atomic manifest under the next seqnum with parent
+                   lineage; one write task per (shard, layer) row.
+
+    num_shards must match the prior artifact's (validated via the
+    stamped num_shards column; drift raises rather than mis-routing).
+    """
+    from dablooms_spark.operators.sharded_scaling import (
+        build_sharded_scaling_layers,
+        merge_sharded_layer_rows,
+        sharded_scaling_probe,
+    )
+
+    spark = batch_df.sparkSession
+    mgr = CheckpointManager(checkpoint_path)
+    manifest = mgr.latest(run_id)
+
+    prior_layers = None
+    if manifest is not None:
+        lin = manifest.get("lineage", {})
+        drift = [
+            (k, lin.get(k), v)
+            for k, v in (
+                ("capacity", capacity),
+                ("error_rate", error_rate),
+                ("num_shards", num_shards),
+            )
+            if lin and lin.get(k) != v
+        ]
+        if drift:
+            raise ValueError(
+                "geometry drift vs checkpoint lineage: "
+                + ", ".join(f"{k}={was} (called with {now})" for k, was, now in drift)
+            )
+        prior_layers = mgr.load_blobs(spark, manifest)
+        if "shard" not in prior_layers.columns or "first_id" not in prior_layers.columns:
+            raise TypeError(
+                "incremental_ingest_sharded_scaling checkpoints SHARDED "
+                f"layer rows; found a different artifact at {checkpoint_path}"
+            )
+        probed = sharded_scaling_probe(
+            batch_df, key_col, prior_layers, num_shards=num_shards,
+            salt=salt, seed=seed, out_col="__seen",
+        )
+        new_rows = _anti_from_flag(
+            probed, key_col, "__seen", exact_seen_df, exact_key
+        )
+    else:
+        new_rows = batch_df
+
+    batch_layers = build_sharded_scaling_layers(
+        batch_df, key_col, id_col, capacity, error_rate,
+        num_shards=num_shards, seed=seed,
+    )
+    all_layers = (
+        batch_layers
+        if prior_layers is None
+        else batch_layers.unionByName(prior_layers)
+    )
+    merged = merge_sharded_layer_rows(all_layers, seed)
+    seq = mgr.commit(
+        merged,
+        run_id,
+        stage="ingest-sharded-scaling",
+        lineage={
+            "parent_seqnum": manifest["seqnum"] if manifest else None,
+            "batch_tag": batch_tag,
+            "key_col": key_col,
+            "id_col": id_col,
+            "capacity": capacity,
+            "error_rate": error_rate,
+            "num_shards": num_shards,
         },
     )
     return new_rows, seq

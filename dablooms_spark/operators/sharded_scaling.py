@@ -186,17 +186,32 @@ def _pieces_df(
             buf, offs, lens = arrow_byte_view(batch.column(0))
             h1, h2 = dablooms_hash_words_buffer(buf, offs, lens, seed)
             layer = ids // width
-            group = shards * (1 << 40) + layer  # composite for np.unique
-            for gcode in np.unique(group):
-                m = group == gcode
-                s, li = int(gcode >> 40), int(gcode & ((1 << 40) - 1))
+            group = shards * (1 << 40) + layer  # composite group code
+            # ONE argsort + contiguous-run slicing, not a full-batch
+            # boolean mask per group: with S shards x L layers the mask
+            # loop makes S*L passes over the batch (e.g. 80 at S=16,
+            # L=5) — pure DRAM traffic that throttles exactly where
+            # this build should scale
+            order = np.argsort(group, kind="stable")
+            g_sorted = group[order]
+            h1s, h2s, ids_s = h1[order], h2[order], ids[order]
+            run_starts = np.flatnonzero(
+                np.concatenate(([True], g_sorted[1:] != g_sorted[:-1]))
+            )
+            run_bounds = np.append(run_starts, len(g_sorted))
+            for ri in range(len(run_starts)):
+                lo, hi = int(run_bounds[ri]), int(run_bounds[ri + 1])
+                gcode = int(g_sorted[lo])
+                s, li = gcode >> 40, gcode & ((1 << 40) - 1)
                 g = _layer_geom(li, capacity, error_rate, geom_cache)
                 kk = (s, li)
-                arr = km_expand(h1[m], h2[m], g.nfuncs, g.counts_per_func).ravel()
+                arr = km_expand(
+                    h1s[lo:hi], h2s[lo:hi], g.nfuncs, g.counts_per_func
+                ).ravel()
                 idx_parts.setdefault(kk, []).append(arr)
                 acc_elems += arr.size
-                counts[kk] = counts.get(kk, 0) + int(m.sum())
-                maxid[kk] = max(maxid.get(kk, 0), int(ids[m].max()))
+                counts[kk] = counts.get(kk, 0) + (hi - lo)
+                maxid[kk] = max(maxid.get(kk, 0), int(ids_s[lo:hi].max()))
             if acc_elems >= flush_elems:
                 rb = drain()
                 if rb is not None:
@@ -457,6 +472,44 @@ def sharded_scaling_remove(
         layers_df.groupBy("shard", "first_id")
         .cogroup(pieces.groupBy("shard", "first_id"))
         .applyInPandas(apply_deletions, schema=_ROW_SCHEMA)
+    )
+
+
+def merge_sharded_layer_rows(
+    layers_df: DataFrame, seed: int = DABLOOMS_SEED
+) -> DataFrame:
+    """Union-merge sharded layer rows: rows sharing (shard, first_id)
+    — e.g. a resumed/incremental build continuing inside the same id
+    window — counter-sum into one row; disjoint rows pass through.
+    One parallel groupBy over (shard, first_id): the filter's natural
+    parallel unit, no driver traffic (the sharded twin of
+    bloom_build.merge_layer_rows). Geometry consistency (capacity,
+    sb_eps, num_shards) is validated per colliding group."""
+    out_fields = [
+        "shard", "first_id", "layer_eps", "capacity", "max_id", "sb_eps",
+        "blob", "n", "num_shards",
+    ]
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 1:
+            return pdf[out_fields]
+        for col in ("capacity", "sb_eps", "num_shards"):
+            if pdf[col].nunique() > 1:
+                raise ValueError(
+                    f"geometry drift inside (shard, first_id) group: "
+                    f"{col} values {sorted(pdf[col].unique())}"
+                )
+        cb = CountingBloom.merge_blobs(
+            [bytes(b) for b in pdf.blob], seed=seed
+        )
+        new = pdf.iloc[[0]].copy()
+        new["blob"] = [cb.to_bytes()]
+        new["n"] = [int(cb.count)]
+        new["max_id"] = [int(pdf.max_id.max())]
+        return new[out_fields]
+
+    return layers_df.groupBy("shard", "first_id").applyInPandas(
+        merge_group, schema=_ROW_SCHEMA
     )
 
 

@@ -235,3 +235,84 @@ def test_scaling_ingest_autoroutes_above_broadcast_budget(spark, tmp_path, monke
     got = {r["key"] for r in approx.collect()}
     assert got <= expected_new  # never reports a seen key as new
     assert len(got) >= len(expected_new) * 0.9  # only FP casualties missing
+
+
+def test_incremental_ingest_sharded_scaling(spark, tmp_path):
+    """Fully sharded ingest loop: split through the per-shard cogroup
+    probe (no driver or whole-filter replication), committed artifact
+    bit-identical to a one-shot sharded build over all batches."""
+    from dablooms_spark.operators.ingest import (
+        incremental_ingest_sharded_scaling,
+    )
+    from dablooms_spark.operators.sharded_scaling import (
+        build_sharded_scaling_layers,
+    )
+    from dablooms_spark.sources.checkpoint import CheckpointManager
+
+    path = str(tmp_path / "ck")
+    CAP, EPS, SHARDS = 500, 0.05, 4
+
+    def mk(lo, hi):
+        return spark.range(lo, hi).select(
+            F.concat(F.lit("k"), F.col("id")).alias("key"),
+            F.col("id").alias("rid"),
+        )
+
+    b1, b2 = mk(0, 800), mk(400, 1_300)
+    n1, s1 = incremental_ingest_sharded_scaling(
+        b1, "key", "rid", path, "run", CAP, EPS, num_shards=SHARDS
+    )
+    assert (s1, n1.count()) == (1, 800)
+    n2, s2 = incremental_ingest_sharded_scaling(
+        b2, "key", "rid", path, "run", CAP, EPS, num_shards=SHARDS,
+        exact_seen_df=b1, exact_key="key",
+    )
+    assert s2 == 2
+    assert {r["key"] for r in n2.collect()} == {
+        f"k{i}" for i in range(800, 1_300)
+    }
+
+    # committed artifact is bit-identical to a one-shot sharded build
+    # over the CONCATENATION of the batches (duplicates included —
+    # counting semantics, same contract as incremental_ingest; the
+    # overlap lands in shared id windows and exercises collide-merge)
+    oneshot = {
+        (r.shard, r.first_id): (bytes(r.blob), r.n)
+        for r in build_sharded_scaling_layers(
+            b1.unionByName(b2), "key", "rid", CAP, EPS, num_shards=SHARDS
+        ).collect()
+    }
+    mgr = CheckpointManager(path)
+    committed = {
+        (r.shard, r.first_id): (bytes(r.blob), r.n)
+        for r in mgr.load_blobs(spark, mgr.latest("run")).collect()
+    }
+    assert committed == oneshot
+
+    # num_shards drift vs lineage refuses before any work
+    with pytest.raises(ValueError, match="geometry drift"):
+        incremental_ingest_sharded_scaling(
+            b2, "key", "rid", path, "run", CAP, EPS, num_shards=SHARDS * 2
+        )
+
+    # non-overlapping batches ARE bit-identical to the one-shot build
+    path2 = str(tmp_path / "ck2")
+    c1, c2 = mk(0, 600), mk(600, 1_200)
+    incremental_ingest_sharded_scaling(
+        c1, "key", "rid", path2, "run", CAP, EPS, num_shards=SHARDS
+    )
+    incremental_ingest_sharded_scaling(
+        c2, "key", "rid", path2, "run", CAP, EPS, num_shards=SHARDS
+    )
+    mgr2 = CheckpointManager(path2)
+    committed2 = {
+        (r.shard, r.first_id): (bytes(r.blob), r.n)
+        for r in mgr2.load_blobs(spark, mgr2.latest("run")).collect()
+    }
+    oneshot2 = {
+        (r.shard, r.first_id): (bytes(r.blob), r.n)
+        for r in build_sharded_scaling_layers(
+            mk(0, 1_200), "key", "rid", CAP, EPS, num_shards=SHARDS
+        ).collect()
+    }
+    assert committed2 == oneshot2

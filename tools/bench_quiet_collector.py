@@ -12,7 +12,9 @@ file. Curate BENCH/BASELINE.md from the min per level across runs
 Usage:
   python tools/bench_quiet_collector.py [rounds] [n_rows] [partitions]
 Env: SCALING_DATA_DIR (reuse datagen), QUIET_LOAD (default 1.5),
-     EVIDENCE (default /tmp/scaling_evidence.jsonl)
+     EVIDENCE (default /tmp/scaling_evidence.jsonl),
+     QUIET_LEVELS (default "16:3,4:2" — "cores:trials" pairs per round),
+     SCALING_JOBS (job whose *_build_sec the cumulative line tracks)
 """
 
 import json
@@ -46,10 +48,18 @@ def main():
     evidence = os.environ.get("EVIDENCE", "/tmp/scaling_evidence.jsonl")
     os.environ.setdefault("SCALING_JOBS", "scaling")
 
+    levels = [
+        (int(c), int(t))
+        for c, t in (
+            pair.split(":")
+            for pair in os.environ.get("QUIET_LEVELS", "16:3,4:2").split(",")
+        )
+    ]
+    job = os.environ["SCALING_JOBS"].split(",")[0]
     zpath, worker = make_snapshot()
-    best = {4: None, 16: None}
+    best = {c: None for c, _ in levels}
     for rnd in range(rounds):
-        for cores, trials in ((16, 3), (4, 2)):
+        for cores, trials in levels:
             os.environ["SCALING_TRIALS"] = str(trials)
             load = wait_quiet(threshold)
             t0 = time.time()
@@ -62,18 +72,19 @@ def main():
             res["_round"] = rnd
             with open(evidence, "a") as fh:
                 fh.write(json.dumps(res) + "\n")
-            sec = res.get("scaling_build_sec")
+            sec = res.get(f"{job}_build_sec")
             if sec and (best[cores] is None or sec < best[cores]):
                 best[cores] = sec
             print(
-                f"round {rnd} cores={cores}: best_sec={res.get('scaling_build_sec')} "
-                f"trials={res.get('scaling_trials_sec')} load {load:.1f}->"
+                f"round {rnd} cores={cores}: best_sec={res.get(f'{job}_build_sec')} "
+                f"trials={res.get(f'{job}_trials_sec')} load {load:.1f}->"
                 f"{res['_load_at_end']} ({time.time()-t0:.0f}s)",
                 flush=True,
             )
-            if best[4] and best[16]:
-                eff = (best[4] / best[16]) / 4
-                print(f"  cumulative: best@4={best[4]} best@16={best[16]} "
+            lo, hi = min(best), max(best)
+            if best[lo] and best[hi]:
+                eff = (best[lo] / best[hi]) / (hi // lo)
+                print(f"  cumulative: best@{lo}={best[lo]} best@{hi}={best[hi]} "
                       f"efficiency={eff:.3f}", flush=True)
     shutil.rmtree(os.path.dirname(zpath), ignore_errors=True)
 

@@ -79,7 +79,7 @@ def main():
 
     n, m = levels
     eff = {}
-    for job in ("counting", "scaling", "hash_kernel"):
+    for job in ("counting", "scaling", "sharded", "hash_kernel"):
         thr_n = results[n].get(f"{job}_docs_per_sec")
         thr_m = results[m].get(f"{job}_docs_per_sec")
         if thr_n and thr_m:
@@ -110,6 +110,7 @@ cluster available — see BASELINE.md).
 
 - counting bloom build+merge: **{eff.get('counting')}**
 - scaling bloom build+merge: **{eff.get('scaling')}**
+- SHARDED scaling build (key-hash shards x fixed layers): **{eff.get('sharded')}**
 - hash kernel (compute-isolated): **{eff.get('hash_kernel')}**
 
 Caveat on the sandbox stand-in: both "cluster sizes" share ONE

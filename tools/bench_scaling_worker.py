@@ -80,8 +80,10 @@ def main():
     # + Python-pool ramp that a long-running production job amortizes;
     # report the best of N trials (all trials recorded).
     trials = int(os.environ.get("SCALING_TRIALS", "3"))
-    jobs = set(os.environ.get("SCALING_JOBS", "counting,scaling,hash").split(","))
-    t_counting, t_scaling = [], []
+    jobs = set(
+        os.environ.get("SCALING_JOBS", "counting,scaling,sharded,hash").split(",")
+    )
+    t_counting, t_scaling, t_sharded = [], [], []
     from dablooms_spark.operators.bloom_build import (
         merge_blobs_df,
         restore_scaling_bloom_layers,
@@ -97,6 +99,25 @@ def main():
             cb = build_counting_bloom(wp, "text", capacity=n_rows, error_rate=0.01)
             t_counting.append(time.perf_counter() - t0)
             assert cb.count == total
+        if "sharded" in jobs:
+            # the flagship 100 TB topology (key-hash shards x fixed
+            # id-boundary layers): same one-map-stage + piece-only
+            # exchange shape as the fixed build, plus the shard
+            # dimension the cogroup probe needs at
+            # bigger-than-broadcast filter sizes
+            from dablooms_spark.operators.sharded_scaling import (
+                build_sharded_scaling_layers,
+            )
+
+            sh_dir = f"{ckpt_root}/sharded-{trial}"
+            t0 = time.perf_counter()
+            build_sharded_scaling_layers(
+                wp, "text", "row_id", capacity=200_000, error_rate=0.01,
+                num_shards=16,
+            ).write.mode("overwrite").parquet(sh_dir)
+            t_sharded.append(time.perf_counter() - t0)
+            n_check = spark.read.parquet(sh_dir).agg(F.sum("n")).first()[0]
+            assert n_check == total, (n_check, total)
         if "scaling" not in jobs:
             continue
 
@@ -200,7 +221,7 @@ def main():
     out = {"cores": cores, "rows": total}
     out.update(item)
     for name, ts in (("hash_kernel", t_hash), ("counting_build", t_counting),
-                     ("scaling_build", t_scaling)):
+                     ("scaling_build", t_scaling), ("sharded_build", t_sharded)):
         if ts:
             key = name.replace("_build", "").replace("_kernel", "_kernel")
             out[f"{name}_sec"] = round(min(ts), 3)

@@ -866,6 +866,77 @@ def _q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard verification stage over a deterministic
+    candidate-pair set (consecutive even/odd doc_id pairs) — the
+    operator is exact (distinct-5-gram set intersection / union), so
+    the oracle is the same computation in DuckDB over string shingles
+    (xxhash64 polynomial grams are injective on this corpus, the same
+    assumption minhash_dedup_pairs' green oracle already rests on)."""
+    from dablooms_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # two candidate sets: consecutive even/odd pairs (disjoint texts —
+    # exact-zero jaccard checks the union denominator) and every pair
+    # in the doc_id<250 window kept at jaccard >= 0.5 (the corpus'
+    # planted near-dup chains — nonzero values check the intersection)
+    consec = (
+        docs.filter((F.col("doc_id") % 2 == 0))
+        .select(F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b"))
+        .join(docs.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi")
+    )
+    ids = docs.filter(F.col("doc_id") < 250).select("doc_id")
+    window_pairs = ids.select(F.col("doc_id").alias("id_a")).join(
+        ids.select(F.col("doc_id").alias("id_b")),
+        F.col("id_a") < F.col("id_b"),
+    )
+    jac_consec = ngram_jaccard_pairs(docs, consec, k=5)
+    jac_near = ngram_jaccard_pairs(docs, window_pairs, k=5).filter(
+        F.col("jaccard") >= 0.5
+    )
+    return (
+        jac_consec.unionByName(jac_near)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b", "jaccard")
+    )
+
+
+def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs — ORACLE-EXACT by the planted
+    identity-class recipe: byte-identical copies (vec_id+100000 for
+    vec_id < 20) share hyperplane codes, so LSH bucket recall is
+    provably 1 at sim == 1.0; survivors are then confirmed byte-equal
+    (array equality), so the result is exactly the SQL
+    embedding-equality self-join. The probabilistic near-dup regime
+    (0.95 <= sim < 1) stays exercised and bounded in pytest."""
+    from dablooms_spark.operators.similarity import embedding_neardup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(planted)
+    pairs = embedding_neardup_pairs(corpus, min_sim=0.9999)
+    vecs = corpus.select(F.col("vec_id"), F.col("embedding"))
+    return (
+        pairs.join(
+            vecs.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("__ea")),
+            "id_a",
+        )
+        .join(
+            vecs.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("__eb")),
+            "id_b",
+        )
+        .filter(F.col("__ea") == F.col("__eb"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("sim") * 1_000_000).cast("long").alias("sim_micro"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
 def _q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dablooms_spark.operators.multimodal import with_media_meta
 
@@ -1087,6 +1158,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_docs": _q_exact_dedup,
         "minhash_dedup_pairs": _q_minhash_dedup_pairs,
         "simhash_pairs": _q_simhash_pairs,
+        "ngram_jaccard_docs": _q_ngram_jaccard,
+        "embedding_neardup_pairs": _q_embedding_neardup,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "lsh_ann_topk": _q_lsh_ann_topk,
         "media_meta_docs": _q_media_meta,
@@ -1255,6 +1328,67 @@ def oracle_sql() -> dict[str, str]:
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             WHERE len(list_intersect(a.s, b.s))::DOUBLE
                   / len(list_distinct(a.s || b.s)) >= 0.8
+            ORDER BY 1, 2
+        """,
+        "ngram_jaccard_docs": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ),
+            sh AS (
+                SELECT doc_id,
+                       list_distinct(
+                           CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+                           ELSE [array_to_string(t[i:i+4], ' ')
+                                 FOR i IN range(1, len(t) - 3)] END
+                       ) AS s
+                FROM toks
+            ),
+            consec AS (
+                SELECT d.doc_id AS id_a, d.doc_id + 1 AS id_b
+                FROM documents d
+                WHERE d.doc_id % 2 = 0
+                  AND d.doc_id + 1 IN (SELECT doc_id FROM documents)
+            ),
+            wpairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM documents a JOIN documents b
+                  ON a.doc_id < b.doc_id
+                WHERE a.doc_id < 250 AND b.doc_id < 250
+            ),
+            jac AS (
+                SELECT p.id_a, p.id_b,
+                       round(len(list_intersect(a.s, b.s))::DOUBLE
+                             / len(list_distinct(a.s || b.s)), 6) AS jaccard
+                FROM consec p
+                JOIN sh a ON a.doc_id = p.id_a
+                JOIN sh b ON b.doc_id = p.id_b
+                UNION ALL
+                SELECT p.id_a, p.id_b,
+                       round(len(list_intersect(a.s, b.s))::DOUBLE
+                             / len(list_distinct(a.s || b.s)), 6) AS jaccard
+                FROM wpairs p
+                JOIN sh a ON a.doc_id = p.id_a
+                JOIN sh b ON b.doc_id = p.id_b
+                WHERE round(len(list_intersect(a.s, b.s))::DOUBLE
+                            / len(list_distinct(a.s || b.s)), 6) >= 0.5
+            )
+            SELECT id_a, id_b, jaccard FROM jac ORDER BY 1, 2, 3
+        """,
+        # see _q_embedding_neardup: identical bytes => identical
+        # hyperplane codes => bucket recall provably 1, survivors
+        # confirmed byte-equal, so the result is exactly this
+        # embedding-equality self-join (sim == 1.0 => 1000000 micro)
+        "embedding_neardup_pairs": """
+            WITH corpus AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 100000 AS vec_id, embedding
+                FROM embeddings WHERE vec_id < 20
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   CAST(1000000 AS BIGINT) AS sim_micro
+            FROM corpus a JOIN corpus b
+              ON a.embedding = b.embedding AND a.vec_id < b.vec_id
             ORDER BY 1, 2
         """,
         "simhash_pairs": """

@@ -60,8 +60,9 @@ _KEY = "__fs_key"
 _SHARD = "__fs_shard"
 
 #: per-shard serialized-filter budget before a sizing warning fires;
-#: the blob is rewritten to the state store every micro-batch the
-#: shard is touched, so its size is the per-batch fixed cost
+#: the blob is rewritten to the state store every micro-batch that
+#: adds a fresh key to the shard (unchanged shards skip the write),
+#: so its size is the per-batch fixed cost while keys are arriving
 DEFAULT_STATE_BUDGET_BYTES = 32 << 20
 
 
@@ -112,8 +113,10 @@ def make_first_seen_updater(
         if state.exists:
             (blob,) = state.get
             cb = CountingBloom.from_bytes(bytes(blob), seed=seed)
+            changed = False
         else:
             cb = CountingBloom(cap_shard, error_rate, seed=seed)
+            changed = True  # first touch must persist the empty filter
         wm_thr = None
         if late_ts_col is not None:
             wm_ms = state.getCurrentWatermarkMs()
@@ -146,8 +149,17 @@ def make_first_seen_updater(
             fresh = ~np.asarray(seen, dtype=bool)
             if fresh.any():
                 cb.add_hashed(h1[fresh], h2[fresh])
+                changed = True
                 yield firsts.loc[fresh, out_columns]
-        state.update((bytearray(cb.to_bytes()),))
+        # Rewrite state only when the filter actually changed: the
+        # state store persists whole values (a sparse-delta encoding
+        # could not cut the per-update cost — HDFS/RocksDB stores
+        # rewrite the full row regardless), but at a dedup stream's
+        # steady state most micro-batches touch a shard with ZERO
+        # fresh keys, and skipping those updates removes the
+        # blob-sized write entirely for them.
+        if changed:
+            state.update((bytearray(cb.to_bytes()),))
 
     return update
 
@@ -172,7 +184,8 @@ def streaming_first_seen(
     (shards ≈ capacity/10^6, floor 8). Shard count is also the
     operator's parallelism cap; a per-shard blob over
     state_budget_bytes warns to raise num_shards (the state store
-    rewrites the whole blob every touched micro-batch).
+    rewrites the whole blob every micro-batch that adds a fresh key;
+    batches that only see already-known keys skip the write).
 
     Key-hash sharding sends every occurrence of a key to the same
     group, so the no-duplicate guarantee holds across micro-batches
@@ -189,7 +202,8 @@ def streaming_first_seen(
             f"streaming_first_seen: per-shard filter is ~{blob_bytes >> 20} MB "
             f"(capacity={capacity}, num_shards={num_shards}), over the "
             f"{state_budget_bytes >> 20} MB state budget — the blob is "
-            "rewritten to the state store every touched micro-batch; "
+            "rewritten to the state store every micro-batch that adds "
+            "a fresh key; "
             "raise num_shards (shards ~ capacity/1e6 keeps shards ~5 MB)",
             stacklevel=2,
         )

@@ -163,3 +163,69 @@ def test_first_seen_shard_sizing_defaults_and_warning(spark):
             stream, "key", capacity=400_000_000, error_rate=0.01, num_shards=8
         )
     assert any("state budget" in str(w.message) for w in got)
+
+
+class _FakeGroupState:
+    """Minimal stand-in for GroupState: exists/get/update + watermark."""
+
+    def __init__(self, value=None, wm_ms=-1):
+        self._value = value
+        self._wm_ms = wm_ms
+        self.update_calls = 0
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, value):
+        self._value = value
+        self.update_calls += 1
+
+    def getCurrentWatermarkMs(self):
+        return self._wm_ms
+
+
+def test_first_seen_updater_skips_unchanged_state():
+    """A micro-batch that adds no fresh key must NOT rewrite the
+    blob-sized state value — at a dedup stream's steady state most
+    batches are all-duplicates and the skip removes the dominant
+    per-batch cost (write ∝ filter size, not batch size)."""
+    import pandas as pd
+
+    from dablooms_spark.streaming.dedup import _KEY, make_first_seen_updater
+
+    update = make_first_seen_updater(
+        capacity=10_000, error_rate=0.01, num_shards=1,
+        out_columns=["k", "v"],
+    )
+    state = _FakeGroupState()
+
+    def batch(keys, vals):
+        return iter([pd.DataFrame({"k": keys, "v": vals, _KEY: keys})])
+
+    # batch 1: all fresh -> emit all, state written
+    out1 = pd.concat(list(update((0,), batch(["a", "b"], [1, 2]), state)))
+    assert sorted(out1["k"]) == ["a", "b"] and state.update_calls == 1
+
+    # batch 2: all duplicates -> no rows, NO state rewrite
+    out2 = list(update((0,), batch(["a", "b"], [3, 4]), state))
+    assert out2 == [] and state.update_calls == 1
+
+    # batch 3: mixed -> only the fresh key, one more write
+    out3 = pd.concat(list(update((0,), batch(["b", "c"], [5, 6]), state)))
+    assert list(out3["k"]) == ["c"] and state.update_calls == 2
+
+    # restore path: a NEW state object carrying the old blob still
+    # dedups (blooms have no false negatives) and still skips writes
+    state2 = _FakeGroupState(value=state.get)
+    out4 = list(update((0,), batch(["a", "c"], [7, 8]), state2))
+    assert out4 == [] and state2.update_calls == 0
+
+    # empty-shard first touch persists the empty filter exactly once
+    state3 = _FakeGroupState()
+    out5 = list(update((0,), iter([pd.DataFrame({"k": [], "v": [], _KEY: []})]), state3))
+    assert out5 == [] and state3.update_calls == 1

@@ -1,7 +1,8 @@
 """Replicate the driver's correctness gate locally: run every
 queries() entry on Spark at sf0.01 and compare row count, sorted
 column names, and an order-insensitive value hash against the DuckDB
-oracle_sql(). Usage: python tools/check_contract.py [sf_dir]
+oracle_sql(). Usage: python tools/check_contract.py [sf_dir] [query ...]
+(extra args restrict the run to the named queries)
 """
 
 import hashlib
@@ -56,6 +57,12 @@ def main():
         )
 
     qs = entrymod.queries()
+    only = set(sys.argv[2:])
+    if only:
+        unknown = only - set(qs)
+        if unknown:
+            sys.exit(f"unknown queries: {sorted(unknown)}")
+        qs = {k: v for k, v in qs.items() if k in only}
     oracles = entrymod.oracle_sql()
     failures = 0
     for name, fn in qs.items():

@@ -21,17 +21,30 @@ def km_expand(
     counts_per_func: int,
 ) -> np.ndarray:
     """Expand precomputed (h1, h2) uint32 word pairs into flat banded
-    counter indices, shape (n, nfuncs), int64.
+    counter indices, shape (n, nfuncs).
 
     index[:, i] = i*counts_per_func + (h1 + i*h2) % counts_per_func
     with uint32 wrapping arithmetic exactly as the reference's C code.
     Precomputing (h1, h2) once lets a multi-layer scaling filter hash
     each key a single time even though each layer's geometry differs.
+
+    dtype: uint32 whenever the filter's counter space fits (size =
+    nfuncs*counts_per_func <= 2^32-1 — every practical geometry),
+    else int64. The piece stages concatenate/sort/unique these
+    indices in bulk; 4-byte elements halve that stage's DRAM
+    traffic, which is what caps multi-core scaling of the build.
+    Values are identical either way (both branches compute the same
+    integers); downstream consumers are dtype-agnostic numpy ops.
     """
     i = np.arange(nfuncs, dtype=np.uint32)
     with np.errstate(over="ignore"):
         mixed = h1[:, None] + i[None, :] * h2[:, None]  # uint32 wrap
     cpf = np.uint32(counts_per_func)
+    size = int(nfuncs) * int(counts_per_func)
+    if size <= 0xFFFFFFFF:
+        idx = mixed % cpf
+        idx += (i * cpf)[None, :]  # < size, so no uint32 wrap
+        return idx
     idx = (mixed % cpf).astype(np.int64)
     idx += (i.astype(np.int64) * np.int64(counts_per_func))[None, :]
     return idx

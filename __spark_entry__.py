@@ -1120,6 +1120,58 @@ def _q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-aware per-group quota cap (the "max N pages per domain"
+    crawl-balancing rule): keep the 20 longest docs per source, ties
+    to the smallest doc_id. Two-phase — (source, salt) pre-cap bounds
+    the exact per-source rank's input to 16n rows per group no matter
+    how hot one source is. Deterministic order makes the survivor set
+    SQL-expressible (row_number window in DuckDB)."""
+    from dablooms_spark.operators.curation import cap_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = cap_per_group(
+        docs,
+        "source",
+        20,
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+        id_col="doc_id",
+    )
+    return kept.select("doc_id", "source", "n_chars")
+
+
+def _q_keep_best_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-representative selection over the same closed-form
+    7-doc chain graph as dedup_clusters_chains (label = id - id % 7),
+    but keeping the highest-n_chars doc per cluster (tie -> min id)
+    instead of the min id — the real pipelines' "keep the best copy"
+    rule. Fully SQL-expressible via the closed-form label + a
+    row_number window."""
+    from dablooms_spark.operators.curation import keep_best_in_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("doc_id")).first()[0]
+    pairs = (
+        docs.filter((F.col("doc_id") % 7 != 6) & (F.col("doc_id") < mx))
+        .select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + 1).alias("id_b"),
+        )
+    )
+    return keep_best_in_clusters(docs, pairs, "doc_id", "n_chars")
+
+
+def _q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 vocabulary with counts: explode -> map-side
+    partially-aggregated count (the Zipf head collapses before the
+    shuffle) -> TakeOrderedAndProject. Deterministic at the cut
+    (count desc, term asc)."""
+    from dablooms_spark.operators.curation import vocab_top_k
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_top_k(docs, "text", k=20)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bloom_semi_join_orders": _q_bloom_semi_join_orders,
@@ -1174,6 +1226,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_user_counts": _q_salted_user_counts,
         "theta_set_counts": _q_theta_set_counts,
         "theta_kmv_set_counts": _q_theta_kmv_set_counts,
+        "cap_per_source_docs": _q_cap_per_source,
+        "keep_best_docs": _q_keep_best_docs,
+        "vocab_top_terms": _q_vocab_top_terms,
     }
 
 
@@ -1862,6 +1917,41 @@ def oracle_sql() -> dict[str, str]:
                 FROM sims
             )
             SELECT query_id, neighbor_id, sim_micro FROM ranked WHERE rn <= 5
+        """,
+        "cap_per_source_docs": """
+            WITH ranked AS (
+                SELECT doc_id, source, n_chars,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY n_chars DESC, doc_id ASC
+                       ) AS rn
+                FROM documents
+            )
+            SELECT doc_id, source, n_chars FROM ranked WHERE rn <= 20
+        """,
+        "keep_best_docs": """
+            WITH lab AS (
+                SELECT doc_id AS node,
+                       CAST(doc_id - (doc_id % 7) AS BIGINT) AS label,
+                       n_chars
+                FROM documents
+            )
+            SELECT node, label,
+                   row_number() OVER (
+                       PARTITION BY label
+                       ORDER BY n_chars DESC, node ASC
+                   ) = 1 AS keep
+            FROM lab
+        """,
+        "vocab_top_terms": """
+            SELECT term, CAST(count(*) AS BIGINT) AS n
+            FROM (
+                SELECT unnest(string_split(text, ' ')) AS term
+                FROM documents
+            )
+            GROUP BY term
+            ORDER BY n DESC, term ASC
+            LIMIT 20
         """,
         # hll_distinct_by_type / value_quantiles_tdigest /
         # value_quantiles_kll / hll_rollup_distinct are estimator

@@ -1,0 +1,84 @@
+"""Curation operators: per-group quota cap, cluster representative
+selection, vocabulary top-k."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from dablooms_spark.operators.curation import (
+    cap_per_group,
+    keep_best_in_clusters,
+    vocab_top_k,
+)
+
+
+def _docs(spark):
+    rows = [
+        # (doc_id, source, n_chars, text)
+        (0, "a", 100, "x y x"),
+        (1, "a", 300, "x z"),
+        (2, "a", 300, "y"),
+        (3, "a", 50, "x"),
+        (4, "b", 10, "z z z"),
+        (5, "b", 20, "w"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, source string, n_chars long, text string")
+
+
+def test_cap_per_group_exact_top_n(spark):
+    kept = cap_per_group(
+        _docs(spark),
+        "source",
+        2,
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+        id_col="doc_id",
+    )
+    got = sorted(r.doc_id for r in kept.collect())
+    # source a: top-2 by (n_chars desc, doc_id asc) = docs 1, 2;
+    # source b: both survive (group smaller than the cap)
+    assert got == [1, 2, 4, 5]
+
+
+def test_cap_per_group_two_phase_matches_one_phase(spark):
+    # the salted pre-cap must never change the survivor set
+    docs = _docs(spark)
+    order = [F.col("n_chars").desc(), F.col("doc_id").asc()]
+    two = cap_per_group(docs, "source", 1, order, id_col="doc_id", salt_buckets=4)
+    one = cap_per_group(docs, "source", 1, order, salt_buckets=0)
+    assert sorted(r.doc_id for r in two.collect()) == sorted(
+        r.doc_id for r in one.collect()
+    )
+
+
+def test_cap_per_group_requires_id_when_salted(spark):
+    with pytest.raises(ValueError, match="id_col"):
+        cap_per_group(_docs(spark), "source", 1, [F.col("doc_id")])
+    with pytest.raises(ValueError, match=">= 1"):
+        cap_per_group(_docs(spark), "source", 0, [F.col("doc_id")], id_col="doc_id")
+
+
+def test_keep_best_picks_highest_score_then_min_id(spark):
+    docs = _docs(spark)
+    # one cluster {0,1,2} (chain), docs 3-5 isolated
+    pairs = spark.createDataFrame([(0, 1), (1, 2)], "id_a long, id_b long")
+    out = keep_best_in_clusters(docs, pairs, "doc_id", "n_chars")
+    rows = {r.node: (r.label, r.keep) for r in out.collect()}
+    assert rows[0] == (0, False)
+    # 1 and 2 tie on n_chars=300 -> min id 1 wins
+    assert rows[1] == (0, True)
+    assert rows[2] == (0, False)
+    # isolated docs are their own cluster, always kept
+    assert rows[3] == (3, True) and rows[4] == (4, True) and rows[5] == (5, True)
+
+
+def test_vocab_top_k_order_and_cut(spark):
+    out = vocab_top_k(_docs(spark), "text", k=3).collect()
+    # counts: x=4, z=4, y=2, w=1 -> ties break term-asc
+    assert [(r.term, r.n) for r in out] == [("x", 4), ("z", 4), ("y", 2)]
+    with pytest.raises(ValueError, match=">= 1"):
+        vocab_top_k(_docs(spark), "text", k=0)
+
+
+def test_vocab_top_k_plan_is_take_ordered(spark):
+    plan = vocab_top_k(_docs(spark), "text", k=3)._jdf.queryExecution().executedPlan().toString()
+    # per-partition top-k merged on the driver — never a global sort
+    assert "TakeOrderedAndProject" in plan

@@ -1161,6 +1161,20 @@ def _q_keep_best_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keep_best_in_clusters(docs, pairs, "doc_id", "n_chars")
 
 
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: shard by id, pack docs into 2000-char
+    training bins in id order (exclusive-cumsum chunking — docs never
+    split, deterministic on every run/cluster size). One shuffle,
+    num_shards-way parallel; the strictly-sequential greedy rule
+    cannot scale and is deliberately NOT what this computes."""
+    from dablooms_spark.operators.curation import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, "doc_id", "n_chars", 2000, num_shards=8).select(
+        "doc_id", "pack_shard", "pack_bin"
+    )
+
+
 def _q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-20 vocabulary with counts: explode -> map-side
     partially-aggregated count (the Zipf head collapses before the
@@ -1170,6 +1184,44 @@ def _q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return vocab_top_k(docs, "text", k=20)
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota per-stratum sampling (30 docs per lang) by
+    md5-of-key rank — portable (any engine's md5 re-derives
+    membership) and skew-safe (routes through cap_per_group's
+    two-phase rank). SQL-expressible as a row_number window over the
+    same md5 ordering."""
+    from dablooms_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(docs, "lang", 30, "doc_id").select(
+        "doc_id", "lang"
+    )
+
+
+def _q_pii_redacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: deterministically salt each doc with a synthetic
+    email / IPv4 / phone (the corpus itself is PII-free), then redact
+    with the chained Catalyst regexp_replace pass. Patterns restricted
+    to the Java-regex ∩ RE2 subset so the DuckDB oracle reproduces
+    the exact output bytes."""
+    from dablooms_spark.operators.textops import with_pii_redacted
+
+    docs = load_table(spark, sf_dir, "documents")
+    salted = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com at 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(" or +12345678"),
+            (F.col("doc_id") % 100).cast("string"),
+        ),
+    )
+    return with_pii_redacted(salted, "text").select("doc_id", "text_redacted")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1227,8 +1279,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theta_set_counts": _q_theta_set_counts,
         "theta_kmv_set_counts": _q_theta_kmv_set_counts,
         "cap_per_source_docs": _q_cap_per_source,
+        "stratified_sample_docs": _q_stratified_sample,
+        "pii_redacted_docs": _q_pii_redacted,
         "keep_best_docs": _q_keep_best_docs,
         "vocab_top_terms": _q_vocab_top_terms,
+        "pack_sequences_docs": _q_pack_sequences,
     }
 
 
@@ -1918,6 +1973,43 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, sim_micro FROM ranked WHERE rn <= 5
         """,
+        "stratified_sample_docs": """
+            WITH ranked AS (
+                SELECT doc_id, lang,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC,
+                                    CAST(doc_id AS VARCHAR) ASC
+                       ) AS rn
+                FROM documents
+            )
+            SELECT doc_id, lang FROM ranked WHERE rn <= 30
+        """,
+        "pii_redacted_docs": """
+            WITH salted AS (
+                SELECT doc_id,
+                       text || ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com at 10.0.0.'
+                            || CAST(doc_id % 256 AS VARCHAR)
+                            || ' or +12345678'
+                            || CAST(doc_id % 100 AS VARCHAR) AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(
+                               regexp_replace(
+                                   text,
+                                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                                   '<EMAIL>', 'g'),
+                               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                               '<IP>', 'g'),
+                           '\\+\\d{7,15}\\b', '<PHONE>', 'g'),
+                       '\\b\\d{3}[-.]\\d{3,4}[-.]\\d{4}\\b',
+                       '<PHONE>', 'g') AS text_redacted
+            FROM salted
+        """,
         "cap_per_source_docs": """
             WITH ranked AS (
                 SELECT doc_id, source, n_chars,
@@ -1942,6 +2034,15 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY n_chars DESC, node ASC
                    ) = 1 AS keep
             FROM lab
+        """,
+        "pack_sequences_docs": """
+            SELECT doc_id,
+                   CAST(doc_id % 8 AS BIGINT) AS pack_shard,
+                   CAST(floor(COALESCE(SUM(n_chars) OVER (
+                       PARTITION BY doc_id % 8 ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) / 2000.0) AS BIGINT) AS pack_bin
+            FROM documents
         """,
         "vocab_top_terms": """
             SELECT term, CAST(count(*) AS BIGINT) AS n

@@ -141,6 +141,48 @@ def keep_best_in_clusters(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col: str,
+    budget: int,
+    num_shards: int = 256,
+) -> DataFrame:
+    """Assign each document to a fixed-token-budget training bin
+    (sequence packing): adds `pack_shard` (= id % num_shards) and
+    `pack_bin` — within a shard, documents are taken in id order and
+    a document starts a new bin when the tokens before it fill the
+    current one (bin = floor(exclusive-cumsum / budget)). Documents
+    are never split; a document longer than `budget` occupies its
+    bin alone (the bin overflows rather than losing bytes —
+    truncate upstream if hard caps matter).
+
+    Strictly-sequential greedy packing cannot scale (it is one global
+    running state); sharding by id makes each shard an independent
+    window (one shuffle, num_shards-way parallel) and the id-order
+    rule keeps the assignment a pure function of the data — the same
+    doc lands in the same (shard, bin) on every run and cluster size,
+    so a resumed training job reads identical sequences. Per-shard
+    fill waste is bounded by one document's tokens per bin."""
+    if budget < 1:
+        raise ValueError(f"pack budget must be >= 1, got {budget}")
+    if num_shards < 1:
+        raise ValueError(f"num_shards must be >= 1, got {num_shards}")
+    idc = F.col(id_col).cast("long")
+    shard = F.pmod(idc, F.lit(num_shards))
+    w = (
+        Window.partitionBy(shard)
+        .orderBy(idc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(
+        F.sum(F.col(n_tokens_col).cast("long")).over(w), F.lit(0)
+    )
+    return df.withColumn("pack_shard", shard).withColumn(
+        "pack_bin", F.floor(cum_before / F.lit(budget))
+    )
+
+
 def vocab_top_k(
     df: DataFrame,
     text_col: str = "text",

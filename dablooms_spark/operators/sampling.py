@@ -1,6 +1,7 @@
-"""Deterministic splitting and decontamination for training corpora.
+"""Deterministic splitting, sampling, and decontamination for
+training corpora.
 
-Two operations every large-scale training-data pipeline needs in
+Operations every large-scale training-data pipeline needs in
 front of the sketch/dedup stages:
 
 * `deterministic_split` — key-hash train/val/test assignment. Unlike
@@ -102,6 +103,38 @@ def deterministic_split(
     out_col = last if expr is None else expr.otherwise(last)
     out_col = F.when(c.isNotNull(), out_col)
     return df.withColumn(out, out_col)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    n_per_stratum: int,
+    key_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Exactly `n_per_stratum` rows per stratum (fewer only when the
+    stratum is smaller) — "take 10k documents per language" — chosen
+    by md5(salt || key) rank so the sample is a pure function of the
+    data: stable under re-runs, repartitioning, and cluster size, and
+    PORTABLE (any engine with md5 re-derives membership, the same
+    property deterministic_split leans on). `salt` rotates the sample
+    without touching the keys.
+
+    Built on the skew-safe two-phase rank of `curation.cap_per_group`:
+    a hot stratum never funnels into a single task. NULL keys have no
+    identity to rank by and are excluded (mirrors
+    deterministic_split's NULL policy)."""
+    from dablooms_spark.operators.curation import cap_per_group
+
+    c = F.col(key_col).cast("string")
+    rank = F.md5(F.concat(F.lit(salt), c))
+    return cap_per_group(
+        df.filter(c.isNotNull()),
+        strata_col,
+        n_per_stratum,
+        [rank.asc(), c.asc()],
+        id_col=key_col,
+    )
 
 
 def contamination_pairs(

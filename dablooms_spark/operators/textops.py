@@ -198,6 +198,35 @@ def shingle_hashes(
     )
 
 
+#: redaction patterns, applied in ORDER: emails first (self-contained
+#: token), then IPv4 (so the phone pattern below can never eat a
+#: dotted quad), then phone-shaped digit runs. Deliberately restricted
+#: to constructs shared by Java regex and RE2 (\b, \d, classes —
+#: no lookarounds) so a DuckDB/RE2 oracle reproduces the exact bytes.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\+\d{7,15}\b", "<PHONE>"),
+    (r"\b\d{3}[-.]\d{3,4}[-.]\d{4}\b", "<PHONE>"),
+)
+
+
+def with_pii_redacted(
+    df: DataFrame, text_col: str = "text", out: str = "text_redacted"
+) -> DataFrame:
+    """Replace email addresses, IPv4 addresses, and phone-shaped
+    digit runs with typed placeholder tokens — the standard scrub
+    pass before a web corpus is trained on. Chained
+    `regexp_replace` Catalyst expressions: map-only, whole-stage
+    codegen, no UDF. The pattern set is intentionally conservative
+    (high precision); swap in jurisdiction-specific patterns via
+    `PII_PATTERNS`-shaped pairs for a production pass."""
+    c: Column = F.col(text_col)
+    for pat, token in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, token)
+    return df.withColumn(out, c)
+
+
 def with_extracted_text(
     df: DataFrame, html_col: str = "html", out: str = "text"
 ) -> DataFrame:

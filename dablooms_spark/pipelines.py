@@ -16,8 +16,16 @@ Order matters and is the standard one for LLM training corpora:
      representatives;
   4. decontamination against a benchmark set (if given) — AFTER dedup
      so each surviving representative is checked once;
-  5. deterministic split LAST, on the surviving rows, so train/test
+  5. per-group quota cap (if cap_group_col is given) — the "max N
+     pages per domain" balancing rule, applied after dedup so the
+     quota counts unique documents, skew-safe two-phase rank;
+  6. deterministic split LAST, on the surviving rows, so train/test
      proportions refer to the corpus actually trained on.
+
+Near-dup representative choice: by default each cluster keeps its
+min-id copy (`dedup_clusters`); pass keep_best_score_col (any column
+present after quality scoring, e.g. "n_tokens") to keep the
+highest-scoring copy instead (`keep_best_in_clusters`).
 
 Every stage is an operator documented elsewhere in this package;
 this module only composes them and keeps honest per-stage counts
@@ -33,6 +41,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from dablooms_spark.operators.curation import cap_per_group, keep_best_in_clusters
 from dablooms_spark.operators.dedup import exact_dedup, minhash_lsh_dedup
 from dablooms_spark.operators.graph import dedup_clusters
 from dablooms_spark.operators.sampling import decontaminate, deterministic_split
@@ -59,6 +68,9 @@ def prepare_training_corpus(
     benchmark: DataFrame | None = None,
     bench_id_col: str | None = None,
     contamination_min_hits: int = 3,
+    keep_best_score_col: str | None = None,
+    cap_group_col: str | None = None,
+    cap_n: int = 1000,
     split_weights: dict[str, float] | None = None,
     count_stages: bool = True,
 ) -> CorpusResult:
@@ -111,7 +123,12 @@ def prepare_training_corpus(
         threshold=near_dup_threshold,
         materialize=False,
     )
-    clusters = dedup_clusters(pairs)
+    if keep_best_score_col is not None:
+        clusters = keep_best_in_clusters(
+            kept, pairs, id_col=id_col, score_col=keep_best_score_col
+        )
+    else:
+        clusters = dedup_clusters(pairs)
     drop = clusters.filter(~F.col("keep")).select(
         F.col("node").alias("__drop_id")
     )
@@ -128,7 +145,18 @@ def prepare_training_corpus(
         )
         kept = checkpoint("decontaminated", kept)
 
-    # 5. deterministic split on the survivors
+    # 5. per-group quota cap: highest-quality docs win the quota
+    if cap_group_col is not None:
+        kept = cap_per_group(
+            kept,
+            cap_group_col,
+            cap_n,
+            [F.col("n_tokens").desc(), F.col(id_col).asc()],
+            id_col=id_col,
+        )
+        kept = checkpoint("capped", kept)
+
+    # 6. deterministic split on the survivors
     if split_weights:
         kept = deterministic_split(kept, id_col, split_weights)
 

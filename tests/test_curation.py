@@ -82,3 +82,29 @@ def test_vocab_top_k_plan_is_take_ordered(spark):
     plan = vocab_top_k(_docs(spark), "text", k=3)._jdf.queryExecution().executedPlan().toString()
     # per-partition top-k merged on the driver — never a global sort
     assert "TakeOrderedAndProject" in plan
+
+
+def test_pack_sequences_chunking_rule(spark):
+    from dablooms_spark.operators.curation import pack_sequences
+
+    rows = [(i, 60) for i in range(10)]  # uniform 60-token docs
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    out = pack_sequences(df, "doc_id", "n_tok", budget=100, num_shards=2)
+    got = {r.doc_id: (r.pack_shard, r.pack_bin) for r in out.collect()}
+    # shard 0 holds ids 0,2,4,6,8 in order; exclusive cumsums
+    # 0,60,120,180,240 -> bins 0,0,1,1,2
+    assert [got[i] for i in (0, 2, 4, 6, 8)] == [
+        (0, 0), (0, 0), (0, 1), (0, 1), (0, 2)
+    ]
+    assert [got[i][1] for i in (1, 3, 5, 7, 9)] == [0, 0, 1, 1, 2]
+    # oversized doc occupies its bin alone but is never dropped
+    big = spark.createDataFrame([(0, 500), (2, 60)], "doc_id long, n_tok long")
+    b = {r.doc_id: r.pack_bin for r in
+         pack_sequences(big, "doc_id", "n_tok", budget=100, num_shards=2).collect()}
+    assert b[0] == 0 and b[2] == 5
+    # determinism under repartitioning
+    again = pack_sequences(df.repartition(5), "doc_id", "n_tok", 100, num_shards=2)
+    assert {r.doc_id: (r.pack_shard, r.pack_bin) for r in again.collect()} == got
+    import pytest as _pt
+    with _pt.raises(ValueError, match="budget"):
+        pack_sequences(df, "doc_id", "n_tok", 0)

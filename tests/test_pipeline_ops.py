@@ -567,3 +567,21 @@ def test_frequent_keys_materialize_false_same_answer(spark, sf_dir):
     lazy = frequent_keys(events, "user_id", min_count=16, materialize=False)
     assert lazy.storageLevel.useMemory is False  # not forced
     assert {tuple(r) for r in lazy.collect()} == {tuple(r) for r in eager.collect()}
+
+
+def test_pii_redaction_patterns(spark):
+    from dablooms_spark.operators.textops import with_pii_redacted
+
+    rows = [
+        (0, "mail bob.smith+x@sub.example.co.uk now"),
+        (1, "server at 192.168.0.1 responded"),
+        (2, "call +4915112345678 or 555-123-4567 today"),
+        (3, "version 1.2 of 3.4.5 is not an ip, order 12345 unchanged"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.text_redacted for r in with_pii_redacted(df).collect()}
+    assert got[0] == "mail <EMAIL> now"
+    assert got[1] == "server at <IP> responded"
+    assert got[2] == "call <PHONE> or <PHONE> today"
+    # conservative: short dotted versions and plain numbers untouched
+    assert got[3] == rows[3][1]

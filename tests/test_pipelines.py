@@ -68,3 +68,36 @@ def test_prepare_training_corpus_lazy_mode(spark):
     res = prepare_training_corpus(docs, count_stages=False)
     assert res.stats == {}
     assert res.df.count() > 0
+
+
+def test_prepare_training_corpus_keep_best_and_cap(spark):
+    # doc 102 is the near-dup of doc 1 with one word changed; pad it
+    # by ONE extra token so keep-best retains 102 (min-id mode would
+    # keep 1) while the pair stays above the Jaccard threshold
+    docs = _corpus(spark).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") == 102,
+            F.concat(F.col("text"), F.lit(" zzzz")),
+        ).otherwise(F.col("text")),
+    ).withColumn("grp", (F.col("doc_id") % 2).cast("string"))
+    res = prepare_training_corpus(
+        docs,
+        min_tokens=20,
+        # healthy docs pair at J=0.68, the padded near-dup at 0.87 —
+        # 0.8 cleanly separates them
+        near_dup_threshold=0.8,
+        keep_best_score_col="n_tokens",
+        cap_group_col="grp",
+        cap_n=5,
+    )
+    ids = {r["doc_id"] for r in res.df.select("doc_id").collect()}
+    # the longest copy wins its near-dup cluster
+    assert 102 in ids and 1 not in ids
+    # quota respected per group
+    per_grp = {
+        r["grp"]: r["n"]
+        for r in res.df.groupBy("grp").agg(F.count("*").alias("n")).collect()
+    }
+    assert all(n <= 5 for n in per_grp.values())
+    assert res.stats["capped"] == res.df.count() <= 10

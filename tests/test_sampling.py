@@ -106,3 +106,23 @@ def test_contamination_and_decontaminate(spark):
     assert {r["doc_id"] for r in clean.collect()} == {11}
     # raising min_hits above the overlap clears the flag
     assert contamination_pairs(corpus, bench, min_hits=3).count() == 0
+
+
+def test_stratified_sample_exact_quota_and_stability(spark):
+    from dablooms_spark.operators.sampling import stratified_sample
+
+    rows = [(i, "a" if i < 40 else "b") for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    got = stratified_sample(df, "grp", 10, "id")
+    per = {r.grp: r.n for r in got.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    # hot stratum capped exactly; small stratum (10 rows) kept whole
+    assert per == {"a": 10, "b": 10}
+    # pure function of the data: identical sample on a reshuffled input
+    again = stratified_sample(df.repartition(7), "grp", 10, "id")
+    assert sorted(r.id for r in got.collect()) == sorted(r.id for r in again.collect())
+    # salt rotates the sample
+    rotated = stratified_sample(df, "grp", 10, "id", salt="v2")
+    assert sorted(r.id for r in rotated.collect()) != sorted(r.id for r in got.collect())
+    # NULL keys are excluded, not sampled as a block
+    with_null = df.union(spark.createDataFrame([(None, "a")], df.schema))
+    assert stratified_sample(with_null, "grp", 50, "id").count() == 50

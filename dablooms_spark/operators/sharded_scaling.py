@@ -54,7 +54,7 @@ from dablooms_spark.functions.hashing import km_expand
 from dablooms_spark.functions.murmur import DABLOOMS_SEED, dablooms_hash_words_buffer
 from dablooms_spark.operators.sharded import _SHARD_SEED, _shard_expr
 
-_POLY = 6.0 / (np.pi ** 2)
+_POLY = 6.0 / (np.pi ** 2)  # retained for older callers; see fixed_layer_eps
 
 _PIECE_SCHEMA = (
     "shard long, layer long, idx binary, exc binary, vals binary, "
@@ -84,13 +84,19 @@ def _ensure_num_shards(layers_df: DataFrame, num_shards: int) -> DataFrame:
 
 
 def _layer_geom(
-    k: int, capacity: int, error_rate: float, cache: dict
+    k: int,
+    capacity: int,
+    error_rate: float,
+    cache: dict,
+    expected_layers: int | None = None,
 ) -> BloomGeometry:
+    from dablooms_spark.operators.bloom_build import fixed_layer_eps
+
     g = cache.get(k)
     if g is None:
         slack = 6 * int(np.sqrt(capacity)) + 16
         g = BloomGeometry(
-            capacity + slack, error_rate * _POLY / (k + 1) ** 2
+            capacity + slack, fixed_layer_eps(k, error_rate, expected_layers)
         )
         cache[k] = g
     return g
@@ -104,6 +110,7 @@ def _pieces_df(
     error_rate: float,
     num_shards: int,
     seed: int,
+    expected_layers: int | None = None,
 ) -> DataFrame:
     """Map-only stage shared by build and remove: hash keys zero-copy
     and emit one gap-coded sparse counter piece per (input partition,
@@ -203,7 +210,8 @@ def _pieces_df(
                 lo, hi = int(run_bounds[ri]), int(run_bounds[ri + 1])
                 gcode = int(g_sorted[lo])
                 s, li = gcode >> 40, gcode & ((1 << 40) - 1)
-                g = _layer_geom(li, capacity, error_rate, geom_cache)
+                g = _layer_geom(li, capacity, error_rate, geom_cache,
+                                expected_layers)
                 kk = (s, li)
                 arr = km_expand(
                     h1s[lo:hi], h2s[lo:hi], g.nfuncs, g.counts_per_func
@@ -231,9 +239,14 @@ def build_sharded_scaling_layers(
     error_rate: float,
     num_shards: int = 16,
     seed: int = DABLOOMS_SEED,
+    expected_layers: int | None = None,
 ) -> DataFrame:
     """DataFrame(shard, first_id, layer_eps, capacity, max_id, sb_eps,
-    blob, n): one counting-bloom layer per (shard, id window). Rows
+    blob, n): one counting-bloom layer per (shard, id window). Pass
+    expected_layers=ceil((max_id+1)/((capacity-1)*num_shards)) when
+    the id span is known to switch the per-layer ε schedule from
+    polynomial to uniform (see bloom_build.fixed_layer_eps — ~20%
+    less hash/index work at 80 layers, more at scale). Rows
     never shuffle: stage 1 (_pieces_df) hashes keys zero-copy and
     emits one gap-coded sparse piece per (partition, shard, touched
     layer); stage 2 — the only exchange, pieces not rows —
@@ -244,12 +257,13 @@ def build_sharded_scaling_layers(
     width = max(capacity - 1, 1) * num_shards
     geom_cache: dict[int, BloomGeometry] = {}
     pieces = _pieces_df(df, key_col, id_col, capacity, error_rate,
-                        num_shards, seed)
+                        num_shards, seed, expected_layers)
 
     def merge_layer(pdf: pd.DataFrame) -> pd.DataFrame:
         s = int(pdf["shard"].iloc[0])
         li = int(pdf["layer"].iloc[0])
-        g = _layer_geom(li, capacity, error_rate, geom_cache)
+        g = _layer_geom(li, capacity, error_rate, geom_cache,
+                        expected_layers)
         acc = np.zeros(g.size, dtype=np.int32)
         for gap_bytes, exc_bytes, val_bytes in zip(pdf.idx, pdf.exc, pdf.vals):
             idx = delta_decode(gap_bytes, exc_bytes)
@@ -378,6 +392,7 @@ def sharded_scaling_remove(
     error_rate: float,
     num_shards: int = 16,
     seed: int = DABLOOMS_SEED,
+    expected_layers: int | None = None,
 ) -> DataFrame:
     """Counter-decrement deletions against a sharded scaling filter,
     fully in the cluster — reference semantics counting_bloom_remove
@@ -400,7 +415,7 @@ def sharded_scaling_remove(
     width = max(capacity - 1, 1) * num_shards
     geom_cache: dict[int, BloomGeometry] = {}
     pieces = _pieces_df(deletions, key_col, id_col, capacity, error_rate,
-                        num_shards, seed)
+                        num_shards, seed, expected_layers)
     # align pieces to the layer rows' key space
     pieces = pieces.withColumn(
         "first_id", F.col("layer") * F.lit(width)
@@ -441,6 +456,18 @@ def sharded_scaling_remove(
                 f"num_shards={row['num_shards']}, remove called with "
                 f"{num_shards} — deletion pieces would route to wrong "
                 f"(shard, first_id) groups"
+            )
+        li = int(row["first_id"]) // width
+        expect_eps = _layer_geom(
+            li, capacity, error_rate, geom_cache, expected_layers
+        ).error_rate
+        if abs(float(row["layer_eps"]) - expect_eps) > 1e-15:
+            raise ValueError(
+                "eps-schedule drift: layer rows carry "
+                f"layer_eps={row['layer_eps']} but the remove's schedule "
+                f"(expected_layers={expected_layers}) derives "
+                f"{expect_eps} — deletion indices were expanded under a "
+                "different geometry; pass the build's expected_layers"
             )
         if piece_pdf.empty:
             return layer_pdf[out_fields]

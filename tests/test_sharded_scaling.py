@@ -375,3 +375,44 @@ def test_sharded_chunked_flush_bit_identical(spark, monkeypatch):
     base = snap()
     monkeypatch.setattr(bb, "PIECE_FLUSH_ELEMS", 1024)
     assert snap() == base
+
+
+def test_sharded_uniform_schedule_build_probe_remove(spark):
+    """expected_layers through the sharded topology: build + probe
+    (geometry from blob bytes, schedule-agnostic) + remove (schedule
+    revalidated against stored layer_eps; drift refused)."""
+    import pytest as _pt
+
+    from dablooms_spark.operators.sharded_scaling import (
+        build_sharded_scaling_layers,
+        sharded_scaling_probe,
+        sharded_scaling_remove,
+    )
+
+    df = spark.range(6_000).select(
+        F.concat(F.lit("u"), F.col("id")).alias("key"), F.col("id")
+    )
+    L = (6_000 - 1) // ((500 - 1) * 4) + 1
+    layers = build_sharded_scaling_layers(
+        df, "key", "id", capacity=500, error_rate=0.05, num_shards=4,
+        expected_layers=L,
+    ).cache()
+    assert all(
+        abs(r.layer_eps - 0.05 * 0.5 / L) < 1e-15 for r in layers.collect()
+    )
+    probed = sharded_scaling_probe(df, "key", layers, num_shards=4)
+    assert probed.filter("NOT is_member").count() == 0
+    # remove with the matching schedule zeroes the removed keys' counters
+    dels = df.filter(F.col("id") < 100)
+    after = sharded_scaling_remove(
+        layers, dels, "key", "id", capacity=500, error_rate=0.05,
+        num_shards=4, expected_layers=L,
+    )
+    assert after.agg(F.sum("n")).first()[0] == 6_000 - 100
+    # schedule drift (remove without the build's hint) is refused
+    with _pt.raises(Exception, match="eps-schedule drift"):
+        sharded_scaling_remove(
+            layers, dels, "key", "id", capacity=500, error_rate=0.05,
+            num_shards=4,
+        ).agg(F.sum("n")).first()
+    layers.unpersist()

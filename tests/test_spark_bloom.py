@@ -606,3 +606,75 @@ def test_approx_n_keys_slack_covers_undershoot(spark):
     df = spark.range(10_000).select(F.col("id").cast("string").alias("k"))
     n = _approx_n_keys(df, "k")
     assert 10_000 <= n <= int(10_000 * 1.25)
+
+
+def test_fixed_layer_eps_budget_and_savings():
+    """The uniform eps schedule: Sigma <= eps for any hint (right,
+    wrong, with overflow), and it genuinely shrinks geometry vs the
+    polynomial at many-layer shapes."""
+    from dablooms_spark.core.geometry import BloomGeometry
+    from dablooms_spark.operators.bloom_build import fixed_layer_eps
+
+    eps = 0.01
+    # right hint, exact layer count
+    for layers, hint in [(81, 81), (81, 40), (5, 5), (200, 81)]:
+        total = sum(fixed_layer_eps(k, eps, hint) for k in range(layers))
+        assert total <= eps + 1e-12, (layers, hint, total)
+    # default polynomial also bounded
+    assert sum(fixed_layer_eps(k, eps) for k in range(10_000)) <= eps + 1e-12
+    # geometry savings at the bench shape (81 layers)
+    poly = sum(
+        BloomGeometry(200_000, fixed_layer_eps(k, eps)).size for k in range(81)
+    )
+    uni = sum(
+        BloomGeometry(200_000, fixed_layer_eps(k, eps, 81)).size
+        for k in range(81)
+    )
+    assert uni < poly * 0.85
+    import pytest as _pt
+    with _pt.raises(ValueError, match="expected_layers"):
+        fixed_layer_eps(0, eps, 0)
+
+
+def test_fixed_partials_uniform_schedule_membership(spark, tmp_path):
+    """expected_layers build: no false negatives, FP within the full
+    eps bound, layer rows carry the uniform eps, and the range path
+    refuses the parameter."""
+    import pytest as _pt
+
+    from dablooms_spark.operators.bloom_build import (
+        build_scaling_bloom,
+        restore_scaling_bloom_layers,
+        scaling_bloom_fixed_partials,
+    )
+
+    df = spark.range(16_000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("key"), F.col("id")
+    )
+    L = 16_000 // 1_999 + 1
+    path = str(tmp_path / "uniform_layers")
+    scaling_bloom_fixed_partials(
+        df.repartition(8), "key", "id", capacity=2_000, error_rate=0.05,
+        expected_layers=L,
+    ).write.parquet(path)
+    rows = spark.read.parquet(path).collect()
+    assert all(abs(r.layer_eps - 0.05 * 0.5 / L) < 1e-15 for r in rows)
+    filt = restore_scaling_bloom_layers(spark, path)
+    assert filt.count == 16_000
+    keys = [f"k{i}".encode() for i in range(16_000)]
+    assert filt.check(keys).all()
+    absent = [f"zz{i}".encode() for i in range(10_000)]
+    assert filt.check(absent).mean() <= 0.05 * 1.2
+    # a WRONG (too small) hint still bounds compound FP: overflow
+    # layers continue on the reserved eps/2 polynomial tail
+    filt2 = build_scaling_bloom(
+        df, "key", "id", capacity=2_000, error_rate=0.05,
+        id_layout="dense", expected_layers=3,
+    )
+    assert filt2.check(keys).all()
+    assert filt2.check(absent).mean() <= 0.05 * 1.2
+    with _pt.raises(ValueError, match="id_layout='dense'"):
+        build_scaling_bloom(
+            df, "key", "id", capacity=2_000, error_rate=0.05,
+            id_layout="range", expected_layers=L,
+        )

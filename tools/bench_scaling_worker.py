@@ -110,10 +110,17 @@ def main():
             )
 
             sh_dir = f"{ckpt_root}/sharded-{trial}"
+            # dense row ids' layer count is known exactly from the row
+            # count -> uniform eps schedule (SCALING_POLY=1 reverts to
+            # the open-ended polynomial for A/B)
+            sh_layers = (
+                None if os.environ.get("SCALING_POLY")
+                else (n_rows - 1) // ((200_000 - 1) * 16) + 1
+            )
             t0 = time.perf_counter()
             build_sharded_scaling_layers(
                 wp, "text", "row_id", capacity=200_000, error_rate=0.01,
-                num_shards=16,
+                num_shards=16, expected_layers=sh_layers,
             ).write.mode("overwrite").parquet(sh_dir)
             t_sharded.append(time.perf_counter() - t0)
             n_check = spark.read.parquet(sh_dir).agg(F.sum("n")).first()[0]
@@ -148,8 +155,13 @@ def main():
             else:
                 merged = scaling_layers_df(partials)
         else:
+            fx_layers = (
+                None if os.environ.get("SCALING_POLY")
+                else (n_rows - 1) // (200_000 - 1) + 1
+            )
             merged = scaling_bloom_fixed_partials(
-                wp, "text", "row_id", capacity=200_000, error_rate=0.01
+                wp, "text", "row_id", capacity=200_000, error_rate=0.01,
+                expected_layers=fx_layers,
             )
         merged.write.mode("overwrite").parquet(out_dir)
         t_scaling.append(time.perf_counter() - t0)

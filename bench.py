@@ -94,6 +94,8 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> dict:
         filt = build_scaling_bloom(
             wp, "url", "row_id", capacity=50_000, error_rate=0.01,
             id_layout="dense",
+            # row count is known -> uniform eps schedule (fixed_layer_eps)
+            expected_layers=(200_000 - 1) // (50_000 - 1) + 1,
         )
         fn = bloom_probe_column(
             wp.select("url"), "url", filt

@@ -226,6 +226,7 @@ def incremental_ingest_scaling(
     batch_tag: str | None = None,
     broadcast_blob_budget: int = 64 << 20,
     split_salt: int | None = None,
+    expected_layers: int | None = None,
 ) -> tuple[DataFrame, int]:
     """The scaling-filter ingest loop: dablooms' unbounded-stream
     model across successive batches. Each batch carries fresh unique
@@ -308,8 +309,15 @@ def incremental_ingest_scaling(
     else:
         new_rows = batch_df
 
+    # expected_layers: the TOTAL layer count of the whole id stream
+    # (ids route to global windows id//(capacity-1), so the hint spans
+    # the stream, not the batch). Pass the SAME value on every batch:
+    # a changed hint gives colliding id windows two (first_id, eps)
+    # rows — probes stay correct (every blob is consulted) but the
+    # compound FP budget splits across both rows.
     batch_layers = scaling_bloom_fixed_partials(
-        batch_df, key_col, id_col, capacity, error_rate, seed
+        batch_df, key_col, id_col, capacity, error_rate, seed,
+        expected_layers=expected_layers,
     )
     all_layers = (
         batch_layers
@@ -347,6 +355,7 @@ def incremental_ingest_sharded_scaling(
     exact_key: str | None = None,
     batch_tag: str | None = None,
     salt: int = 8,
+    expected_layers: int | None = None,
 ) -> tuple[DataFrame, int]:
     """The ingest loop at the fully SHARDED topology — the
     beyond-EXECUTOR-memory end state. incremental_ingest_scaling's
@@ -414,9 +423,10 @@ def incremental_ingest_sharded_scaling(
     else:
         new_rows = batch_df
 
+    # same cross-batch hint rule as incremental_ingest_scaling
     batch_layers = build_sharded_scaling_layers(
         batch_df, key_col, id_col, capacity, error_rate,
-        num_shards=num_shards, seed=seed,
+        num_shards=num_shards, seed=seed, expected_layers=expected_layers,
     )
     all_layers = (
         batch_layers

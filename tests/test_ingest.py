@@ -316,3 +316,32 @@ def test_incremental_ingest_sharded_scaling(spark, tmp_path):
         ).collect()
     }
     assert committed2 == oneshot2
+
+
+def test_ingest_scaling_uniform_schedule_consistent_across_batches(spark, tmp_path):
+    """expected_layers threads through the ingest loop: two batches
+    with the same hint produce ONE row per id window (no eps-split
+    collisions) and the restored filter stays exact."""
+    from dablooms_spark.operators.ingest import incremental_ingest_scaling
+
+    ck = str(tmp_path / "ck")
+    b1 = spark.range(0, 3_000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("key"), F.col("id")
+    )
+    b2 = spark.range(3_000, 6_000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("key"), F.col("id")
+    )
+    L = (6_000 - 1) // (1_000 - 1) + 1
+    for b, tag in [(b1, "d1"), (b2, "d2")]:
+        incremental_ingest_scaling(
+            b, "key", "id", ck, "run", capacity=1_000, error_rate=0.05,
+            batch_tag=tag, expected_layers=L,
+        )
+    from dablooms_spark.operators.ingest import restore_filter
+
+    filt, _ = restore_filter(spark, ck, "run")
+    # one geometry per id window — the same hint on both batches means
+    # colliding windows merged instead of eps-splitting
+    eps_per_layer = {l.first_id: l.geometry.error_rate for l in filt.layers}
+    assert all(abs(e - 0.05 * 0.5 / L) < 1e-15 for e in eps_per_layer.values())
+    assert filt.check([f"k{i}".encode() for i in range(6_000)]).all()

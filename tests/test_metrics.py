@@ -51,3 +51,24 @@ def test_observed_fp_rate_sharded(spark):
     assert row["probes"] == 20_000
     assert row["configured_bound"] == 0.05
     assert row["fp_rate"] <= 0.05 and bool(row["within_bound"])
+
+
+def test_observed_fp_rate_uniform_schedule(spark):
+    """The uniform eps/(2L) schedule's compound FP bound holds
+    empirically: a disjoint-key probe over a uniform-built scaling
+    filter observes FP <= the configured bound (the chk_results
+    protocol on the round-4 schedule)."""
+    from dablooms_spark.operators import build_scaling_bloom, observed_fp_rate
+
+    n = 20_000
+    df = spark.range(n).select(
+        F.concat(F.lit("in"), F.col("id")).alias("k"), F.col("id")
+    )
+    L = (n - 1) // (2_000 - 1) + 1
+    filt = build_scaling_bloom(
+        df, "k", "id", capacity=2_000, error_rate=0.02,
+        id_layout="dense", expected_layers=L,
+    )
+    neg = spark.range(50_000).select(F.concat(F.lit("out"), F.col("id")).alias("k"))
+    row = observed_fp_rate(neg, "k", filt).first()
+    assert row.within_bound and row.fp_rate <= 0.02

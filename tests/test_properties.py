@@ -181,3 +181,25 @@ def test_theta_merge_associative_bytes(splits):
     ltr = functools.reduce(lambda a, b: a.merge(b), parts)
     rtl = functools.reduce(lambda a, b: b.merge(a), reversed(parts))
     assert ltr.to_bytes() == rtl.to_bytes() == single.to_bytes()
+
+
+def test_fixed_layer_eps_budget_property():
+    """Property: for ANY (eps, hint, realized layer count) the summed
+    per-layer budgets never exceed eps — including wildly wrong hints
+    and deep overflow."""
+    from hypothesis import given, settings, strategies as st
+
+    from dablooms_spark.operators.bloom_build import fixed_layer_eps
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        eps=st.floats(1e-6, 0.5),
+        hint=st.one_of(st.none(), st.integers(1, 500)),
+        layers=st.integers(1, 2_000),
+    )
+    def check(eps, hint, layers):
+        total = sum(fixed_layer_eps(k, eps, hint) for k in range(layers))
+        assert total <= eps * (1 + 1e-9)
+        assert all(fixed_layer_eps(k, eps, hint) > 0 for k in (0, layers - 1))
+
+    check()

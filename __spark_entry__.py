@@ -1161,6 +1161,26 @@ def _q_keep_best_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keep_best_in_clusters(docs, pairs, "doc_id", "n_chars")
 
 
+def _q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped inverted index: per-term true document frequency + a
+    sorted posting list capped at 25 ids (smallest win). The explode
+    feeds cap_per_group's two-phase rank, so a stopword's corpus-wide
+    posting list never funnels into one task. Postings rendered as a
+    comma-joined string so the value-hash compares bytes, not
+    engine-specific array reprs."""
+    from dablooms_spark.operators.curation import inverted_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = inverted_index(docs, "text", "doc_id", max_postings=25)
+    return out.select(
+        "term",
+        "n_docs",
+        F.concat_ws(",", F.transform("postings", lambda x: x.cast("string"))).alias(
+            "postings_csv"
+        ),
+    )
+
+
 def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: shard by id, pack docs into 2000-char
     training bins in id order (exclusive-cumsum chunking — docs never
@@ -1284,6 +1304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keep_best_docs": _q_keep_best_docs,
         "vocab_top_terms": _q_vocab_top_terms,
         "pack_sequences_docs": _q_pack_sequences,
+        "inverted_index_docs": _q_inverted_index,
     }
 
 
@@ -2034,6 +2055,27 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY n_chars DESC, node ASC
                    ) = 1 AS keep
             FROM lab
+        """,
+        "inverted_index_docs": """
+            WITH posts AS (
+                SELECT DISTINCT doc_id, t.term
+                FROM documents,
+                     LATERAL unnest(string_split(text, ' ')) AS t(term)
+            ), ranked AS (
+                SELECT term, doc_id,
+                       row_number() OVER (
+                           PARTITION BY term ORDER BY doc_id
+                       ) AS rn
+                FROM posts
+            )
+            SELECT r.term,
+                   (SELECT count(*) FROM posts p WHERE p.term = r.term)
+                       AS n_docs,
+                   string_agg(CAST(r.doc_id AS VARCHAR), ','
+                              ORDER BY r.doc_id) AS postings_csv
+            FROM ranked r
+            WHERE r.rn <= 25
+            GROUP BY r.term
         """,
         "pack_sequences_docs": """
             SELECT doc_id,

@@ -141,6 +141,45 @@ def keep_best_in_clusters(
     )
 
 
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_postings: int = 1000,
+) -> DataFrame:
+    """(term, n_docs, postings): per-term document frequency and a
+    sorted posting list capped at `max_postings` ids (smallest ids
+    win — deterministic). The retrieval-side companion to
+    vocab_top_k: term lookup tables, training-data lineage ("which
+    docs contain this string"), and contamination forensics all read
+    this shape.
+
+    Skew is the design problem: a stopword's posting list is the
+    corpus. collect_list per term would funnel "the"'s 10^11 ids into
+    one task; instead the explode feeds cap_per_group's two-phase
+    rank — every term's survivors are bounded at max_postings BEFORE
+    the final per-term gather, so the widest task holds max_postings
+    ids regardless of document frequency. n_docs is the TRUE document
+    frequency (counted pre-cap, map-side combined), so the cap never
+    distorts the statistics, only truncates the list."""
+    if max_postings < 1:
+        raise ValueError(f"max_postings must be >= 1, got {max_postings}")
+    posts = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(F.array_distinct(tokens(text_col))).alias("term"),
+    )
+    counts = posts.groupBy("term").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    capped = cap_per_group(
+        posts, "term", max_postings, [F.col("doc_id").asc()], id_col="doc_id"
+    )
+    lists = capped.groupBy("term").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("postings")
+    )
+    return counts.join(lists, "term")
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,

@@ -108,3 +108,24 @@ def test_pack_sequences_chunking_rule(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="budget"):
         pack_sequences(df, "doc_id", "n_tok", 0)
+
+
+def test_inverted_index_cap_and_true_df(spark):
+    from dablooms_spark.operators.curation import inverted_index
+
+    rows = [
+        (0, "x y"),
+        (1, "x y x"),   # duplicate token inside a doc counts once
+        (2, "x z"),
+        (3, "x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.term: (r.n_docs, r.postings) for r in
+           inverted_index(df, "text", "doc_id", max_postings=2).collect()}
+    # true document frequency survives the cap; smallest ids win
+    assert got["x"] == (4, [0, 1])
+    assert got["y"] == (2, [0, 1])
+    assert got["z"] == (1, [2])
+    import pytest as _pt
+    with _pt.raises(ValueError, match="max_postings"):
+        inverted_index(df, "text", "doc_id", max_postings=0)

@@ -129,3 +129,23 @@ def test_inverted_index_cap_and_true_df(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="max_postings"):
         inverted_index(df, "text", "doc_id", max_postings=0)
+
+
+def test_cap_per_group_plan_two_exchanges(spark):
+    """The two-phase cap costs exactly two hash exchanges — phase 1 on
+    (group, salt), phase 2 on group — with the second moving only the
+    bounded survivors. A third exchange (or a lost salt phase) is a
+    plan regression."""
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(i, "g", 1) for i in range(10)], "doc_id long, source string, n long"
+    )
+    plan = (
+        cap_per_group(
+            df, "source", 2, [F.col("n").desc(), F.col("doc_id").asc()],
+            id_col="doc_id",
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 2

@@ -1220,6 +1220,24 @@ def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_normalized_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical normalization: salt docs with control chars, rogue
+    whitespace, and mixed case (the corpus is already clean), then
+    normalize — exact bytes reproduced by the RE2 oracle."""
+    from dablooms_spark.operators.textops import with_normalized_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    salted = docs.withColumn(
+        "text",
+        F.concat(
+            F.lit("  MiXeD\tCase "),
+            F.col("text"),
+            F.lit("\u0001  trailing\t\t junk  "),
+        ),
+    )
+    return with_normalized_text(salted, "text").select("doc_id", "text_norm")
+
+
 def _q_pii_redacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub: deterministically salt each doc with a synthetic
     email / IPv4 / phone (the corpus itself is PII-free), then redact
@@ -1301,6 +1319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_per_source_docs": _q_cap_per_source,
         "stratified_sample_docs": _q_stratified_sample,
         "pii_redacted_docs": _q_pii_redacted,
+        "normalized_text_docs": _q_normalized_text,
         "keep_best_docs": _q_keep_best_docs,
         "vocab_top_terms": _q_vocab_top_terms,
         "pack_sequences_docs": _q_pack_sequences,
@@ -2005,6 +2024,17 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             SELECT doc_id, lang FROM ranked WHERE rn <= 30
+        """,
+        "normalized_text_docs": """
+            SELECT doc_id,
+                   lower(trim(regexp_replace(
+                       regexp_replace(
+                           '  MiXeD' || chr(9) || 'Case ' || text ||
+                           chr(1) || '  trailing' || chr(9) || chr(9) ||
+                           ' junk  ',
+                           '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+                       '\\s+', ' ', 'g'))) AS text_norm
+            FROM documents
         """,
         "pii_redacted_docs": """
             WITH salted AS (

@@ -198,6 +198,26 @@ def shingle_hashes(
     )
 
 
+def with_normalized_text(
+    df: DataFrame, text_col: str = "text", out: str = "text_norm"
+) -> DataFrame:
+    """Canonical text normalization — the pass that runs before any
+    hashing/dedup stage so byte-trivial variants (stray control
+    chars, runs of whitespace, case) collapse to one fingerprint:
+    strip C0/C1 control characters, collapse whitespace runs to one
+    space, trim, lowercase. Chained whole-stage-codegen Catalyst
+    expressions (map-only, no UDF), each step in the Java-regex ∩ RE2
+    shared subset so an external engine reproduces the exact bytes.
+    Deliberately NOT unicode-normalizing (no NFC/NFKC): that is
+    locale/library-versioned and would break the byte-identity
+    invariant the hash kernels rely on; run it upstream if required
+    and re-verify."""
+    c: Column = F.col(text_col)
+    stripped = F.regexp_replace(c, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "")
+    squeezed = F.trim(F.regexp_replace(stripped, r"\s+", " "))
+    return df.withColumn(out, F.lower(squeezed))
+
+
 #: redaction patterns, applied in ORDER: emails first (self-contained
 #: token), then IPv4 (so the phone pattern below can never eat a
 #: dotted quad), then phone-shaped digit runs. Deliberately restricted

@@ -585,3 +585,20 @@ def test_pii_redaction_patterns(spark):
     assert got[2] == "call <PHONE> or <PHONE> today"
     # conservative: short dotted versions and plain numbers untouched
     assert got[3] == rows[3][1]
+
+
+def test_normalized_text(spark):
+    from dablooms_spark.operators.textops import with_normalized_text
+
+    rows = [
+        (0, "  Hello\t\tWORLD  "),
+        (1, "a\x00b\x01c"),          # control chars stripped, no space
+        (2, "already clean"),
+        (3, "Tabs\tand\nnewlines\r\nfold"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.text_norm for r in with_normalized_text(df).collect()}
+    assert got[0] == "hello world"
+    assert got[1] == "abc"
+    assert got[2] == "already clean"
+    assert got[3] == "tabs and newlines fold"

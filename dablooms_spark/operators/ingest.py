@@ -381,6 +381,7 @@ def incremental_ingest_sharded_scaling(
     stamped num_shards column; drift raises rather than mis-routing).
     """
     from dablooms_spark.operators.sharded_scaling import (
+        _ensure_num_shards,
         build_sharded_scaling_layers,
         merge_sharded_layer_rows,
         sharded_scaling_probe,
@@ -413,6 +414,11 @@ def incremental_ingest_sharded_scaling(
                 "incremental_ingest_sharded_scaling checkpoints SHARDED "
                 f"layer rows; found a different artifact at {checkpoint_path}"
             )
+        # pre-r4 sharded artifacts lack the stamped num_shards column;
+        # stamp the caller's value in (the probe path already tolerates
+        # such artifacts the same way) so the union and merge below —
+        # whose schemas require the column — accept them too
+        prior_layers = _ensure_num_shards(prior_layers, num_shards)
         probed = sharded_scaling_probe(
             batch_df, key_col, prior_layers, num_shards=num_shards,
             salt=salt, seed=seed, out_col="__seen",
@@ -423,7 +429,12 @@ def incremental_ingest_sharded_scaling(
     else:
         new_rows = batch_df
 
-    # same cross-batch hint rule as incremental_ingest_scaling
+    # expected_layers must be the SAME on every batch, but the failure
+    # mode here is STRICTER than incremental_ingest_scaling's: sharded
+    # rows colliding on (shard, first_id) are counter-SUMMED by
+    # merge_sharded_layer_rows, which requires identical layer_eps —
+    # a changed hint fails loudly at the merge (eps-schedule drift)
+    # rather than splitting the FP budget across duplicate rows
     batch_layers = build_sharded_scaling_layers(
         batch_df, key_col, id_col, capacity, error_rate,
         num_shards=num_shards, seed=seed, expected_layers=expected_layers,

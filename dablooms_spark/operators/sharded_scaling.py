@@ -526,6 +526,16 @@ def merge_sharded_layer_rows(
                     f"geometry drift inside (shard, first_id) group: "
                     f"{col} values {sorted(pdf[col].unique())}"
                 )
+        if pdf["layer_eps"].nunique() > 1:
+            raise ValueError(
+                "eps-schedule drift inside (shard, first_id) group: "
+                f"layer_eps values {sorted(pdf['layer_eps'].unique())} — "
+                "the colliding rows were built under different layer-eps "
+                "schedules (e.g. one batch with an expected_layers hint "
+                "and one without, or different hints); rebuild the batches "
+                "with one pinned expected_layers so colliding layers share "
+                "a geometry"
+            )
         cb = CountingBloom.merge_blobs(
             [bytes(b) for b in pdf.blob], seed=seed
         )

@@ -45,6 +45,7 @@ num_shards.
 
 from __future__ import annotations
 
+import struct
 import warnings
 from typing import Any, Iterator, Tuple
 
@@ -67,8 +68,37 @@ DEFAULT_STATE_BUDGET_BYTES = 32 << 20
 
 
 def default_first_seen_shards(capacity: int) -> int:
-    """shards ≈ capacity / 10^6, floor 8 — the module sizing table."""
+    """shards ≈ capacity / 10^6, floor 8 — the module sizing table.
+
+    num_shards is part of a checkpoint's identity: keys route to
+    shards by hash mod num_shards, so changing it across a restart
+    would send keys to shards whose state lacks their filter bits and
+    silently re-emit already-seen keys. Blobs are therefore stamped
+    with their num_shards (magic footer) and a restart with a
+    different value fails loudly. Pin num_shards explicitly for the
+    life of a checkpoint; this default may change between releases
+    (it did in r4: fixed 8 → capacity-dependent)."""
     return max(8, -(-int(capacity) // 1_000_000))
+
+
+#: magic-tagged footer appended to each state blob stamping the
+#: num_shards the checkpoint was built with; stripped before decode.
+#: Pre-stamp checkpoints (no footer) fall back to a per-shard
+#: geometry check (capacity/num_shards determines blob capacity).
+_SHARD_STAMP = struct.Struct("<8sI")
+_SHARD_STAMP_MAGIC = b"DBFSSHRD"
+
+
+def _stamp_shards(blob: bytes, num_shards: int) -> bytes:
+    return blob + _SHARD_STAMP.pack(_SHARD_STAMP_MAGIC, num_shards)
+
+
+def _unstamp_shards(blob: bytes) -> tuple[bytes, int | None]:
+    if len(blob) >= _SHARD_STAMP.size:
+        magic, n = _SHARD_STAMP.unpack_from(blob, len(blob) - _SHARD_STAMP.size)
+        if magic == _SHARD_STAMP_MAGIC:
+            return blob[: -_SHARD_STAMP.size], n
+    return blob, None
 
 
 def make_first_seen_updater(
@@ -79,6 +109,7 @@ def make_first_seen_updater(
     seed: int = DABLOOMS_SEED,
     order_col: str | None = None,
     late_ts_col: str | None = None,
+    session_tz: str = "UTC",
 ):
     """State-update fn for applyInPandasWithState: group = shard,
     state = one counting-bloom blob, output = first-seen input rows
@@ -102,7 +133,14 @@ def make_first_seen_updater(
     current watermark (state.getCurrentWatermarkMs) — rows strictly
     older are DROPPED here, because Spark leaves late-data filtering
     to the user function for arbitrary stateful ops (it auto-filters
-    only for built-in aggregations/joins)."""
+    only for built-in aggregations/joins).
+
+    session_tz: the driver's spark.sql.session.timeZone, captured at
+    plan time. getCurrentWatermarkMs() is epoch-UTC, but Arrow hands
+    naive timestamp columns to this function rendered in the SESSION
+    zone — comparing them against a naive-UTC watermark would shift
+    the cutoff by the zone offset. The watermark is converted into
+    session_tz before any naive comparison."""
     cap_shard = max(1, int(capacity) // max(1, num_shards))
 
     def update(
@@ -111,24 +149,53 @@ def make_first_seen_updater(
         state,
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
-            (blob,) = state.get
-            cb = CountingBloom.from_bytes(bytes(blob), seed=seed)
+            (raw,) = state.get
+            blob, stored_shards = _unstamp_shards(bytes(raw))
+            cb = CountingBloom.from_bytes(blob, seed=seed)
+            if stored_shards is not None and stored_shards != num_shards:
+                raise ValueError(
+                    "streaming_first_seen: checkpoint was built with "
+                    f"num_shards={stored_shards} but this restart uses "
+                    f"num_shards={num_shards}; key->shard routing would "
+                    "change and already-seen keys would be re-emitted. "
+                    "Pin num_shards for the life of a checkpoint "
+                    "(the capacity-dependent default changes with capacity)."
+                )
+            if stored_shards is None and cb.geometry.capacity != cap_shard:
+                raise ValueError(
+                    "streaming_first_seen: restored shard filter has "
+                    f"capacity {cb.geometry.capacity} but this restart "
+                    f"expects {cap_shard} (= capacity//num_shards); "
+                    "capacity or num_shards changed across the restart — "
+                    "pin both for the life of a checkpoint."
+                )
             changed = False
         else:
             cb = CountingBloom(cap_shard, error_rate, seed=seed)
             changed = True  # first touch must persist the empty filter
-        wm_thr = None
+        wm_utc = None
         if late_ts_col is not None:
             wm_ms = state.getCurrentWatermarkMs()
             if wm_ms > 0:
-                wm_thr = pd.Timestamp(wm_ms, unit="ms")
+                wm_utc = pd.Timestamp(wm_ms, unit="ms", tz="UTC")
         cand: list[pd.DataFrame] = []
         for pdf in pdfs:
-            if wm_thr is not None and not pdf.empty:
+            if wm_utc is not None and not pdf.empty:
                 ts = pdf[late_ts_col]
-                thr = wm_thr
                 if getattr(ts.dt, "tz", None) is not None:
-                    thr = wm_thr.tz_localize("UTC").tz_convert(ts.dt.tz)
+                    thr = wm_utc.tz_convert(ts.dt.tz)
+                else:
+                    # naive column values are session-zone wall times
+                    try:
+                        thr = wm_utc.tz_convert(session_tz).tz_localize(None)
+                    except Exception:
+                        warnings.warn(
+                            "streaming_first_seen: cannot interpret session "
+                            f"timezone {session_tz!r}; comparing the "
+                            "watermark as UTC",
+                            stacklevel=2,
+                        )
+                        thr = wm_utc.tz_localize(None)
                 pdf = pdf[ts >= thr]
             if pdf.empty:
                 continue
@@ -159,7 +226,7 @@ def make_first_seen_updater(
         # fresh keys, and skipping those updates removes the
         # blob-sized write entirely for them.
         if changed:
-            state.update((bytearray(cb.to_bytes()),))
+            state.update((bytearray(_stamp_shards(cb.to_bytes(), num_shards)),))
 
     return update
 
@@ -186,6 +253,14 @@ def streaming_first_seen(
     state_budget_bytes warns to raise num_shards (the state store
     rewrites the whole blob every micro-batch that adds a fresh key;
     batches that only see already-known keys skip the write).
+
+    num_shards (and capacity) must be PINNED for the life of a
+    checkpoint — routing is hash mod num_shards, so a restart with a
+    different value would re-route keys to shards missing their
+    filter bits and re-emit already-seen keys. State blobs are
+    stamped with num_shards; a mismatched restart raises instead of
+    duplicating (pre-stamp checkpoints are validated via the derived
+    per-shard capacity).
 
     Key-hash sharding sends every occurrence of a key to the same
     group, so the no-duplicate guarantee holds across micro-batches
@@ -215,9 +290,13 @@ def streaming_first_seen(
     keyed = keyed.withColumn(
         _SHARD, F.pmod(F.xxhash64(F.col(_KEY)), F.lit(num_shards))
     )
+    session_tz = (
+        stream_df.sparkSession.conf.get("spark.sql.session.timeZone", "UTC")
+        or "UTC"
+    )
     update = make_first_seen_updater(
         capacity, error_rate, num_shards, out_columns, seed, order_col,
-        late_ts_col,
+        late_ts_col, session_tz,
     )
     out_schema = keyed.select(*out_columns).schema
     return keyed.groupBy(_SHARD).applyInPandasWithState(

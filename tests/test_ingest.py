@@ -345,3 +345,59 @@ def test_ingest_scaling_uniform_schedule_consistent_across_batches(spark, tmp_pa
     eps_per_layer = {l.first_id: l.geometry.error_rate for l in filt.layers}
     assert all(abs(e - 0.05 * 0.5 / L) < 1e-15 for e in eps_per_layer.values())
     assert filt.check([f"k{i}".encode() for i in range(6_000)]).all()
+
+
+def test_incremental_ingest_sharded_scaling_pre_r4_artifact(spark, tmp_path):
+    """A pre-r4 sharded checkpoint (layer rows without the stamped
+    num_shards column) must ingest, not AnalysisException at the
+    unionByName: the ingest path stamps the caller's value in, same
+    tolerance the probe path already has."""
+    from dablooms_spark.operators.ingest import (
+        incremental_ingest_sharded_scaling,
+    )
+    from dablooms_spark.operators.sharded_scaling import (
+        build_sharded_scaling_layers,
+    )
+    from dablooms_spark.sources.checkpoint import CheckpointManager
+
+    path = str(tmp_path / "ck_legacy")
+    CAP, EPS, SHARDS = 500, 0.05, 4
+
+    def mk(lo, hi):
+        return spark.range(lo, hi).select(
+            F.concat(F.lit("k"), F.col("id")).alias("key"),
+            F.col("id").alias("rid"),
+        )
+
+    # forge the pre-r4 artifact: a real commit with the column dropped
+    legacy = build_sharded_scaling_layers(
+        mk(0, 600), "key", "rid", CAP, EPS, num_shards=SHARDS
+    ).drop("num_shards")
+    mgr = CheckpointManager(path)
+    mgr.commit(
+        legacy, "run", stage="ingest-sharded-scaling",
+        lineage={
+            "capacity": CAP, "error_rate": EPS, "num_shards": SHARDS,
+        },
+    )
+
+    new_rows, seq = incremental_ingest_sharded_scaling(
+        mk(300, 900), "key", "rid", path, "run", CAP, EPS,
+        num_shards=SHARDS, exact_seen_df=mk(0, 600), exact_key="key",
+    )
+    assert seq == 2
+    assert {r["key"] for r in new_rows.collect()} == {
+        f"k{i}" for i in range(600, 900)
+    }
+    committed = {
+        (r.shard, r.first_id): (bytes(r.blob), r.n)
+        for r in mgr.load_blobs(spark, mgr.latest("run")).collect()
+    }
+    oneshot = {
+        (r.shard, r.first_id): (bytes(r.blob), r.n)
+        for r in build_sharded_scaling_layers(
+            mk(0, 600).unionByName(mk(300, 900)), "key", "rid", CAP, EPS,
+            num_shards=SHARDS,
+        ).collect()
+    }
+    assert committed == oneshot

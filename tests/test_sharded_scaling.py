@@ -416,3 +416,33 @@ def test_sharded_uniform_schedule_build_probe_remove(spark):
             num_shards=4,
         ).agg(F.sum("n")).first()
     layers.unpersist()
+
+
+def test_merge_layer_eps_drift_raises(spark):
+    """Colliding (shard, first_id) rows built under DIFFERENT eps
+    schedules (e.g. one ingest batch with an expected_layers hint, one
+    without) must surface an explicit eps-schedule-drift error at the
+    merge, not CountingBloom.merge_blobs' opaque geometry failure."""
+    import pytest
+
+    from dablooms_spark.operators.sharded_scaling import (
+        merge_sharded_layer_rows,
+    )
+
+    rows = _rows(spark, n=6_000, parts=2)
+    a = build_sharded_scaling_layers(
+        rows, "k", "id", capacity=CAP, error_rate=EPS, num_shards=SHARDS
+    )
+    b = build_sharded_scaling_layers(
+        rows, "k", "id", capacity=CAP, error_rate=EPS, num_shards=SHARDS,
+        expected_layers=8,
+    )
+    with pytest.raises(Exception, match="eps-schedule drift"):
+        merge_sharded_layer_rows(a.unionByName(b)).collect()
+    # hint pinned across both unions -> merges cleanly
+    c = build_sharded_scaling_layers(
+        rows, "k", "id", capacity=CAP, error_rate=EPS, num_shards=SHARDS,
+        expected_layers=8,
+    )
+    merged = merge_sharded_layer_rows(b.unionByName(c))
+    assert merged.count() == b.count()

@@ -229,3 +229,102 @@ def test_first_seen_updater_skips_unchanged_state():
     state3 = _FakeGroupState()
     out5 = list(update((0,), iter([pd.DataFrame({"k": [], "v": [], _KEY: []})]), state3))
     assert out5 == [] and state3.update_calls == 1
+
+
+def test_first_seen_updater_late_filter_uses_session_tz():
+    """getCurrentWatermarkMs is epoch-UTC, but Arrow hands NAIVE
+    timestamp columns to applyInPandasWithState rendered in the
+    SESSION timezone. The cutoff must be converted into that zone:
+    with session tz America/New_York (UTC-5 in January), an on-time
+    row's naive wall clock reads 5h EARLIER than its UTC instant, and
+    a naive-UTC comparison would wrongly drop it."""
+    import pandas as pd
+
+    from dablooms_spark.streaming.dedup import _KEY, make_first_seen_updater
+
+    wm_utc = pd.Timestamp("2026-01-01 12:00:00", tz="UTC")
+    wm_ms = int(wm_utc.value // 1_000_000)
+
+    def run(session_tz, naive_ts):
+        update = make_first_seen_updater(
+            capacity=10_000, error_rate=0.01, num_shards=1,
+            out_columns=["k", "ts"], late_ts_col="ts",
+            session_tz=session_tz,
+        )
+        state = _FakeGroupState(wm_ms=wm_ms)
+        pdf = pd.DataFrame({
+            "k": [f"k{i}" for i in range(len(naive_ts))],
+            "ts": pd.to_datetime(naive_ts),
+        })
+        pdf[_KEY] = pdf["k"]
+        out = list(update((0,), iter([pdf]), state))
+        return sorted(pd.concat(out)["k"]) if out else []
+
+    # NY wall times: 07:00 naive == the watermark instant, 08:00 is
+    # one hour on-time (13:00 UTC), 06:00 is one hour late (11:00 UTC)
+    kept = run("America/New_York",
+               ["2026-01-01 06:00:00", "2026-01-01 07:00:00",
+                "2026-01-01 08:00:00"])
+    assert kept == ["k1", "k2"]
+
+    # UTC session: the same instants in UTC wall time agree
+    kept_utc = run("UTC",
+                   ["2026-01-01 11:00:00", "2026-01-01 12:00:00",
+                    "2026-01-01 13:00:00"])
+    assert kept_utc == ["k1", "k2"]
+
+    # unparseable tz falls back to UTC with a warning, not a crash
+    import warnings as _w
+    with _w.catch_warnings(record=True) as got:
+        _w.simplefilter("always")
+        kept_bad = run("no/such_zone",
+                       ["2026-01-01 11:00:00", "2026-01-01 13:00:00"])
+    assert kept_bad == ["k1"]
+    assert any("session timezone" in str(w.message) for w in got)
+
+
+def test_first_seen_updater_num_shards_pinned_across_restart():
+    """State blobs are stamped with num_shards; restarting the stream
+    with a different value re-routes keys to shards missing their
+    bits, so the restore must fail loudly instead of re-emitting
+    already-seen keys. Pre-stamp blobs (no footer) are caught via the
+    derived per-shard capacity."""
+    import pandas as pd
+    import pytest
+
+    from dablooms_spark.core.counting_bloom import CountingBloom
+    from dablooms_spark.streaming.dedup import (
+        _KEY, _stamp_shards, _unstamp_shards, make_first_seen_updater,
+    )
+
+    def batch(keys):
+        pdf = pd.DataFrame({"k": keys})
+        pdf[_KEY] = pdf["k"]
+        return iter([pdf])
+
+    mk = lambda shards: make_first_seen_updater(
+        capacity=80_000, error_rate=0.01, num_shards=shards,
+        out_columns=["k"],
+    )
+    state = _FakeGroupState()
+    list(mk(8)(0, batch(["a", "b"]), state))
+
+    # footer round-trips: stamped value decodes, num_shards recovered
+    blob, n = _unstamp_shards(bytes(state.get[0]))
+    assert n == 8 and CountingBloom.from_bytes(blob).count == 2
+
+    # same num_shards restarts fine and still dedups
+    assert list(mk(8)(0, batch(["a", "b"]), _FakeGroupState(state.get))) == []
+
+    # changed num_shards (e.g. a new default) fails loudly
+    with pytest.raises(ValueError, match="num_shards=8"):
+        list(mk(16)(0, batch(["a"]), _FakeGroupState(state.get)))
+
+    # pre-stamp checkpoint (no footer): geometry mismatch still caught
+    legacy = CountingBloom(80_000 // 8, 0.01).to_bytes()
+    with pytest.raises(ValueError, match="capacity"):
+        list(mk(16)(0, batch(["a"]), _FakeGroupState((bytearray(legacy),))))
+    # ...and a matching pre-stamp blob restores, then writes stamped
+    st = _FakeGroupState((bytearray(legacy),))
+    list(mk(8)(0, batch(["z"]), st))
+    assert _unstamp_shards(bytes(st.get[0]))[1] == 8

@@ -344,6 +344,59 @@ def _q_incremental_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_incremental_sharded_new_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """incremental_new_users at the fully SHARDED topology
+    (incremental_ingest_sharded_scaling): the checkpoint artifact is
+    the sharded layer-row DataFrame — never assembled on any single
+    node — restore/probe runs per-shard cogroup tasks, and the commit
+    collide-merges batch layers per (shard, first_id). Same three
+    event-id-third batches and the same exact-confirm split as the
+    one-filter query, so the oracle (first-seen batch per user) is
+    exact. Cites dablooms scaling_bloom_add/check + bitmap_flush
+    (SURVEY §2.1 #21-24) at the 100 TB layout."""
+    import tempfile
+
+    from dablooms_spark.operators.ingest import (
+        incremental_ingest_sharded_scaling,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    n = _events_row_count(spark, sf_dir, events)
+    path = tempfile.mkdtemp(prefix="dablooms-ingest-shck-")
+    out = None
+    prior_keys = None
+    for b in range(3):
+        lo = b * n // 3
+        hi = (b + 1) * n // 3 if b < 2 else n
+        batch = (
+            events.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi))
+            .select(
+                F.col("user_id").cast("string").alias("ukey"),
+                F.col("user_id").cast("long").alias("rid"),
+            )
+            .distinct()
+        )
+        new_rows, _seq = incremental_ingest_sharded_scaling(
+            batch, "ukey", "rid", path, "contract",
+            capacity=max(n // 4, 64), error_rate=0.01, num_shards=4,
+            exact_seen_df=prior_keys, exact_key="ukey",
+        )
+        tagged = new_rows.select(
+            "ukey", F.lit(b).cast("int").alias("first_seen_batch")
+        )
+        out = tagged if out is None else out.unionByName(tagged)
+        prior_keys = (
+            batch.select("ukey")
+            if prior_keys is None
+            else prior_keys.unionByName(batch.select("ukey"))
+        )
+    return out.select(
+        F.col("ukey").cast("long").alias("user_id"), "first_seen_batch"
+    )
+
+
 def _q_streaming_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-state streaming dedup through the driver gate: events
     split into two files (event_id halves) stream as two availableNow
@@ -1262,6 +1315,41 @@ def _q_pii_redacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_pii_redacted(salted, "text").select("doc_id", "text_redacted")
 
 
+def _q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END prepare_training_corpus (quality → exact dedup →
+    minhash near-dup components → decontaminate → per-source cap →
+    deterministic split) as ONE contract row — every stage is
+    individually oracle-exact; this catches inter-stage contract
+    drift (column renames, filter order, survivor-set handoffs).
+
+    Oracle exactness by composition: each stage reuses the argument
+    that made its standalone query exact — token/shingle definitions
+    are shared strings, the corpus's true near-dup pairs sit at
+    J ≥ 0.875 where 16×4-band LSH recall is ~1-1e-6 and verification
+    is exact Jaccard, components come from a recursive-CTE transitive
+    closure, and the split is the md5-prefix wall. Docs 0-9 double as
+    the benchmark set, so they decontaminate themselves away (each
+    shares ≥3 shingles with itself) — deterministic on both engines."""
+    from dablooms_spark.pipelines import prepare_training_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 10).select("doc_id", "text")
+    res = prepare_training_corpus(
+        docs,
+        near_dup_threshold=0.8,
+        benchmark=bench,
+        contamination_min_hits=3,
+        cap_group_col="source",
+        cap_n=20,
+        split_weights={"train": 0.8, "val": 0.1, "test": 0.1},
+        count_stages=False,
+    )
+    return res.df.select(
+        "doc_id", "source", F.col("n_tokens").cast("long").alias("n_tokens"),
+        "split",
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bloom_semi_join_orders": _q_bloom_semi_join_orders,
@@ -1274,6 +1362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_remove_membership": _q_bloom_remove_membership,
         "windowed_distinct_stream": _q_windowed_distinct_stream,
         "incremental_new_users": _q_incremental_new_users,
+        "incremental_sharded_new_users": _q_incremental_sharded_new_users,
         "streaming_first_seen_keys": _q_streaming_first_seen,
         "streaming_first_seen_late": _q_streaming_first_seen_late,
         "sql_udaf_distinct": _q_sql_udaf_distinct,
@@ -1324,6 +1413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_top_terms": _q_vocab_top_terms,
         "pack_sequences_docs": _q_pack_sequences,
         "inverted_index_docs": _q_inverted_index,
+        "corpus_pipeline_docs": _q_corpus_pipeline,
     }
 
 
@@ -1688,6 +1778,121 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY user_id, event_type
         """,
         "incremental_new_users": """
+            SELECT user_id,
+                   CAST(MIN(CASE
+                       WHEN event_id < (SELECT COUNT(*) FROM events) // 3
+                           THEN 0
+                       WHEN event_id < 2 * (SELECT COUNT(*) FROM events) // 3
+                           THEN 1
+                       ELSE 2 END) AS INT) AS first_seen_batch
+            FROM events
+            GROUP BY user_id
+        """,
+        "corpus_pipeline_docs": """
+            WITH RECURSIVE
+            tok AS (
+                SELECT doc_id, source, text, string_split(text, ' ') AS toks
+                FROM documents
+            ),
+            feat AS (
+                SELECT doc_id, source, text, toks,
+                       len(toks) AS n_tok,
+                       len(list_distinct(toks)) AS n_dist
+                FROM tok
+            ),
+            bg AS (
+                SELECT doc_id AS b_doc, max(cnt) AS top_cnt
+                FROM (
+                    SELECT doc_id, bgm, count(*) AS cnt
+                    FROM (
+                        SELECT doc_id,
+                               unnest(list_transform(range(1, len(toks)),
+                                      i -> toks[i] || ' ' || toks[i+1])) AS bgm
+                        FROM tok
+                    )
+                    GROUP BY doc_id, bgm
+                )
+                GROUP BY doc_id
+            ),
+            q AS (
+                SELECT f.doc_id, f.source, f.text, f.toks, f.n_tok
+                FROM feat f LEFT JOIN bg ON f.doc_id = bg.b_doc
+                WHERE f.n_tok >= 20
+                  AND CAST(f.n_tok - f.n_dist AS DOUBLE) / f.n_tok <= 0.9
+                  AND (CASE WHEN f.n_tok >= 2
+                            THEN CAST(COALESCE(bg.top_cnt, 0) AS DOUBLE)
+                                 / (f.n_tok - 1)
+                            ELSE 0.0 END) <= 0.5
+            ),
+            e AS (
+                SELECT * FROM q
+                WHERE doc_id IN (SELECT min(doc_id) FROM q GROUP BY text)
+            ),
+            esh AS (
+                SELECT doc_id,
+                       list_distinct([array_to_string(toks[i:i+4], ' ')
+                           FOR i IN range(1, greatest(len(toks)-4, 1)+1)]) AS s
+                FROM e
+            ),
+            pairs AS (
+                SELECT a.doc_id AS ia, b.doc_id AS ib
+                FROM esh a JOIN esh b ON a.doc_id < b.doc_id
+                WHERE len(list_intersect(a.s, b.s))::DOUBLE
+                      / len(list_distinct(a.s || b.s)) >= 0.8
+            ),
+            edges AS (
+                SELECT ia AS u, ib AS v FROM pairs
+                UNION
+                SELECT ib, ia FROM pairs
+            ),
+            cc(node, root) AS (
+                SELECT u, u FROM edges
+                UNION
+                SELECT edges.v, cc.root FROM cc JOIN edges ON edges.u = cc.node
+            ),
+            reps AS (SELECT node, min(root) AS root FROM cc GROUP BY node),
+            nd AS (
+                SELECT e.* FROM e LEFT JOIN reps ON e.doc_id = reps.node
+                WHERE reps.node IS NULL OR e.doc_id = reps.root
+            ),
+            bsh AS (
+                SELECT doc_id AS bench_id,
+                       unnest(list_distinct([array_to_string(toks[i:i+4], ' ')
+                           FOR i IN range(1, greatest(len(toks)-4, 1)+1)])) AS sh
+                FROM tok WHERE doc_id < 10
+            ),
+            csh AS (
+                SELECT doc_id, unnest(s) AS sh
+                FROM esh JOIN nd USING (doc_id)
+            ),
+            contaminated AS (
+                SELECT DISTINCT c.doc_id
+                FROM csh c JOIN bsh b USING (sh)
+                GROUP BY c.doc_id, b.bench_id
+                HAVING count(*) >= 3
+            ),
+            decon AS (
+                SELECT * FROM nd
+                WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+            ),
+            capped AS (
+                SELECT doc_id, source, n_tok FROM (
+                    SELECT d.*,
+                           row_number() OVER (PARTITION BY source
+                               ORDER BY n_tok DESC, doc_id ASC) AS rn
+                    FROM decon d
+                ) WHERE rn <= 20
+            )
+            SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tokens,
+                   CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 13)
+                             < 'ccccccccccccd' THEN 'train'
+                        WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 13)
+                             < 'e666666666666' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM capped
+            ORDER BY doc_id
+        """,
+        "incremental_sharded_new_users": """
             SELECT user_id,
                    CAST(MIN(CASE
                        WHEN event_id < (SELECT COUNT(*) FROM events) // 3

@@ -14,6 +14,11 @@ The headline set covers the engine's load-bearing paths:
   minhash_dedup_webpages — shingle/MinHash/LSH near-dup pairs on 20k
                            synthesized docs
   ann_topk_embeddings    — exact cosine top-k over the embeddings table
+  sharded_scaling_semi   — the flagship 100 TB topology: sharded
+                           scaling-filter build (layer rows, never
+                           assembled on one node) + per-shard cogroup
+                           semi-join probe of lineitem against an
+                           orders-key filter
 
 Scaling-efficiency evidence (N vs 4N cores on identical input) is
 produced by tools/bench_scaling.py, which writes BENCH/BASELINE.md.
@@ -136,6 +141,25 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> dict:
         queries_df = emb.filter(F.col("vec_id") < 50)
         return brute_force_topk(emb, queries_df, k=10).count()
 
+    def q_sharded_scaling_semi():
+        from dablooms_spark.operators.sharded_scaling import (
+            build_sharded_scaling_layers,
+            sharded_scaling_semi_join,
+        )
+
+        rich = orders.filter(F.col("o_totalprice") > 150000).select(
+            F.col("o_orderkey").cast("string").alias("okey"),
+            F.col("o_orderkey").alias("oid"),
+        )
+        layers = build_sharded_scaling_layers(
+            rich, "okey", "oid", capacity=20_000, error_rate=0.01,
+            num_shards=8,
+        )
+        probe = lineitem.withColumn("lkey", F.col("l_orderkey").cast("string"))
+        return sharded_scaling_semi_join(
+            probe, "lkey", layers, num_shards=8
+        ).count()
+
     suite = {
         "bloom_build_lineitem": q_bloom_build_lineitem,
         "scaling_bloom_webpages": q_scaling_bloom_webpages,
@@ -143,6 +167,7 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> dict:
         "sketch_aggs_events": q_sketch_aggs_events,
         "minhash_dedup_webpages": q_minhash_dedup_webpages,
         "ann_topk_embeddings": q_ann_topk_embeddings,
+        "sharded_scaling_semi": q_sharded_scaling_semi,
     }
 
     # warm the session (JVM + Python worker pool) outside the timings —

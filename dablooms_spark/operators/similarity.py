@@ -182,6 +182,32 @@ def lsh_topk(
     )
 
 
+def _fold_cell_stats(stats: DataFrame, dim: int) -> DataFrame:
+    """Per-cell executor-side reduction of Lloyd partial stats
+    (shard, cell, s, cnt) → one (cell, s, cnt) row per nonempty cell.
+    One groupBy(cell) Exchange; inside each group the partial vectors
+    are accumulated sequentially in ascending-shard order — the same
+    float op order as the legacy driver fold (np.sum's pairwise
+    reduction would NOT be bit-identical)."""
+
+    def fold_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("shard", kind="mergesort")
+        acc = np.zeros(dim, np.float64)
+        for s in pdf["s"]:
+            acc += np.asarray(s, np.float64)
+        return pd.DataFrame(
+            {
+                "cell": [int(pdf["cell"].iloc[0])],
+                "s": [acc],
+                "cnt": [int(pdf["cnt"].sum())],
+            }
+        )
+
+    return stats.groupBy("cell").applyInPandas(
+        fold_cell, schema="cell long, s array<double>, cnt long"
+    )
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     vec_col: str = "embedding",
@@ -189,6 +215,7 @@ def train_ivf_centroids(
     num_centroids: int = 16,
     iters: int = 2,
     seed: int = 42,
+    reduce: str = "executor",
 ) -> np.ndarray:
     """Distributed Lloyd iterations for IVF centroids, deterministic.
 
@@ -198,11 +225,23 @@ def train_ivf_centroids(
     far better than the first C hash draws, which can land several
     centroids in one dense region. Each Lloyd iteration is one corpus
     scan emitting per-PARTITION partial (cell, sum_vec, count) stats
-    (map-side combine — the shuffle-free shape), reduced on the driver
-    in sorted (cell, shard) order so float summation order is fixed.
-    Driver traffic is O(C·P·d) centroid stats, never vectors. Empty
-    cells keep their previous centroid.
+    (map-side combine — the shuffle-free shape).
+
+    reduce="executor" (default): partials are folded per cell by a
+    groupBy(cell) stage BEFORE the collect, in sorted shard order with
+    a sequential accumulator, so driver traffic is O(C·d) — one row
+    per nonempty cell — regardless of partition count P. At 100 TB
+    (P ~ 10^5 tasks) the alternative collect is O(C·P·d) rows of
+    driver traffic per iteration; the fold's shuffle moves the same
+    O(C·P·d) bytes but across executors, where it belongs.
+    reduce="driver" keeps that collect-then-fold path (sorted
+    (cell, shard) order) as the zero-shuffle small-P variant. Both
+    accumulate each cell's partials in ascending-shard sequential
+    float64 order, so the centroids are BIT-IDENTICAL across modes.
+    Empty cells keep their previous centroid.
     """
+    if reduce not in ("executor", "driver"):
+        raise ValueError(f"reduce must be 'executor' or 'driver', got {reduce!r}")
     spark = corpus.sparkSession
     sample = (
         corpus.select(id_col, vec_col)
@@ -263,14 +302,20 @@ def train_ivf_centroids(
                     ),
                 )
 
-        parts = vecs.mapInArrow(
+        stats = vecs.mapInArrow(
             partial_stats, schema="shard long, cell long, s array<double>, cnt long"
-        ).collect()
+        )
         sums = np.zeros((C, dim), np.float64)
         counts = np.zeros(C, np.int64)
-        for r in sorted(parts, key=lambda r: (r.cell, r.shard)):
-            sums[r.cell] += np.asarray(r.s, np.float64)
-            counts[r.cell] += r.cnt
+        if reduce == "executor":
+            folded = _fold_cell_stats(stats, dim)
+            for r in folded.collect():  # one row per nonempty cell
+                sums[r.cell] = np.asarray(r.s, np.float64)
+                counts[r.cell] = r.cnt
+        else:
+            for r in sorted(stats.collect(), key=lambda r: (r.cell, r.shard)):
+                sums[r.cell] += np.asarray(r.s, np.float64)
+                counts[r.cell] += r.cnt
         nz = counts > 0
         new_cent = cent.copy()
         new_cent[nz] = sums[nz] / counts[nz, None]

@@ -8,10 +8,18 @@ updated per micro-batch, FINALIZED and evicted when the watermark
 passes the window end (EventTimeTimeout), so state is bounded by
 (windows in flight × groups), never by stream length.
 
-Late data: rows later than the watermark are dropped by Spark before
-the stateful operator (standard windowed-agg semantics — contrast the
-lifetime filter, where dablooms id-routing makes late rows land in
-their historic layer instead).
+Late data: Spark auto-drops late rows only for BUILT-IN windowed
+aggregations; for applyInPandasWithState it is the operator's job.
+The updater filters rows older than state.getCurrentWatermarkMs()
+(converted into the session timezone for naive columns) BEFORE
+touching state. Without that filter a late row for an already-evicted
+window would resurrect it as a fresh near-empty sketch — or crash the
+query outright, since setTimeoutTimestamp at-or-below the watermark
+is illegal. Surviving rows always satisfy ts >= watermark, so their
+window end is strictly above the watermark and the timeout
+registration is always valid. (Contrast the lifetime filter, where
+dablooms id-routing makes late rows land in their historic layer
+instead of being dropped.)
 """
 
 from __future__ import annotations
@@ -31,14 +39,22 @@ OUTPUT_SCHEMA = (
 STATE_SCHEMA = "blob binary, win_end_ms long"
 
 
-def make_windowed_sketch_updater(factory, loads):
+def make_windowed_sketch_updater(
+    factory, loads, late_ts_col: str | None = None, session_tz: str = "UTC"
+):
     """State-update fn for applyInPandasWithState keyed by
     (window_start, window_end_ms, group). `factory()` builds an empty
     sketch, `loads(blob)` revives one; any sketch with add(keys) /
     estimate() / to_bytes() works — HLL for fixed-size state, theta
     for EXACT counts while under-full (retained < k ⇒ estimate() is
     the true distinct count, which is what lets the streaming query
-    hash-match an exact GROUP BY oracle)."""
+    hash-match an exact GROUP BY oracle).
+
+    late_ts_col: event-time column filtered against the current
+    watermark (module docstring: arbitrary stateful ops must do this
+    themselves). An all-late batch for an EVICTED window returns
+    without touching state — the closed window is not resurrected and
+    no illegal timeout is registered."""
 
     def update(
         key: Tuple[Any, ...],
@@ -61,16 +77,44 @@ def make_windowed_sketch_updater(factory, loads):
                 }
             )
             return
+        wm_utc = None
+        if late_ts_col is not None:
+            wm_ms = state.getCurrentWatermarkMs()
+            if wm_ms > 0:
+                wm_utc = pd.Timestamp(wm_ms, unit="ms", tz="UTC")
+        live: list[pd.DataFrame] = []
+        for pdf in pdfs:
+            if wm_utc is not None and len(pdf):
+                ts = pdf[late_ts_col]
+                if getattr(ts.dt, "tz", None) is not None:
+                    thr = wm_utc.tz_convert(ts.dt.tz)
+                else:
+                    # naive column values are session-zone wall times
+                    try:
+                        thr = wm_utc.tz_convert(session_tz).tz_localize(None)
+                    except Exception:
+                        thr = wm_utc.tz_localize(None)
+                pdf = pdf[ts >= thr]
+            if len(pdf):
+                live.append(pdf)
+        if not live:
+            # entirely-late group: never resurrect a closed window
+            # (no state write, and — critically — no timeout
+            # registration, which would be <= the watermark and
+            # illegal); an existing open window keeps its prior
+            # state and timeout untouched
+            return
         if state.exists:
             blob, _ = state.get
             h = loads(bytes(blob))
         else:
             h = factory()
-        for pdf in pdfs:
-            if len(pdf):
-                h.add([k.encode() for k in pdf.key.astype(str)])
+        for pdf in live:
+            h.add([k.encode() for k in pdf.key.astype(str)])
         state.update((bytearray(h.to_bytes()), int(win_end_ms)))
         # fire once the event-time watermark passes the window end
+        # (surviving rows have ts >= watermark, and their window's end
+        # is > ts, so this is always strictly above the watermark)
         state.setTimeoutTimestamp(int(win_end_ms))
         yield pd.DataFrame(
             {
@@ -84,24 +128,34 @@ def make_windowed_sketch_updater(factory, loads):
     return update
 
 
-def make_windowed_hll_updater(p: int, seed: int = DABLOOMS_SEED):
+def make_windowed_hll_updater(
+    p: int,
+    seed: int = DABLOOMS_SEED,
+    late_ts_col: str | None = None,
+    session_tz: str = "UTC",
+):
     def factory():
         return HyperLogLog(p=p, seed=seed)
 
     def loads(blob: bytes):
         return HyperLogLog.from_bytes(blob)
 
-    return make_windowed_sketch_updater(factory, loads)
+    return make_windowed_sketch_updater(factory, loads, late_ts_col, session_tz)
 
 
-def make_windowed_theta_updater(k: int, seed: int = DABLOOMS_SEED):
+def make_windowed_theta_updater(
+    k: int,
+    seed: int = DABLOOMS_SEED,
+    late_ts_col: str | None = None,
+    session_tz: str = "UTC",
+):
     def factory():
         return ThetaSketch(k=k, seed=seed)
 
     def loads(blob: bytes):
         return ThetaSketch.from_bytes(blob)
 
-    return make_windowed_sketch_updater(factory, loads)
+    return make_windowed_sketch_updater(factory, loads, late_ts_col, session_tz)
 
 
 def windowed_distinct_stream(
@@ -128,10 +182,14 @@ def windowed_distinct_stream(
     estimate beyond."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    session_tz = (
+        stream_df.sparkSession.conf.get("spark.sql.session.timeZone", "UTC")
+        or "UTC"
+    )
     if sketch == "hll":
-        updater = make_windowed_hll_updater(p, seed)
+        updater = make_windowed_hll_updater(p, seed, ts_col, session_tz)
     elif sketch == "theta":
-        updater = make_windowed_theta_updater(k, seed)
+        updater = make_windowed_theta_updater(k, seed, ts_col, session_tz)
     else:
         raise ValueError(f"unknown sketch {sketch!r}")
 

@@ -602,3 +602,45 @@ def test_normalized_text(spark):
     assert got[1] == "abc"
     assert got[2] == "already clean"
     assert got[3] == "tabs and newlines fold"
+
+
+def test_ivf_centroid_reduce_modes_bit_identical(spark, emb):
+    """The executor-side groupBy(cell) fold (default — O(C·d) driver
+    traffic instead of O(C·P·d)) must produce BIT-identical centroids
+    to the driver fold: both accumulate each cell's partials in
+    ascending-shard sequential float64 order. Also pins the plan: the
+    fold runs as a pre-collect aggregation Exchange."""
+    from dablooms_spark.operators.similarity import train_ivf_centroids
+
+    corpus = emb.repartition(7)  # multiple shards per cell
+    a = train_ivf_centroids(corpus, num_centroids=8, iters=3,
+                            reduce="executor")
+    b = train_ivf_centroids(corpus, num_centroids=8, iters=3,
+                            reduce="driver")
+    assert a.shape == b.shape
+    assert (a == b).all(), "reduce modes diverged bitwise"
+
+    import pytest
+
+    with pytest.raises(ValueError, match="reduce"):
+        train_ivf_centroids(corpus, num_centroids=8, reduce="nope")
+
+
+def test_ivf_fold_plan_has_cell_exchange(spark):
+    """The executor-side fold must be a real pre-collect aggregation:
+    its plan hash-partitions the partial stats on cell (the Exchange)
+    and runs the fold as a grouped-map python stage — driver traffic
+    is the folded O(C·d) rows, not O(C·P·d) partials."""
+    from dablooms_spark.operators.similarity import _fold_cell_stats
+
+    stats = spark.createDataFrame(
+        [(0, 1, [1.0, 2.0], 3), (1, 1, [0.5, 0.5], 2), (0, 2, [1.0, 0.0], 1)],
+        "shard long, cell long, s array<double>, cnt long",
+    )
+    folded = _fold_cell_stats(stats, 2)
+    plan = folded._jdf.queryExecution().optimizedPlan().toString()
+    physical = folded._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsInPandas" in physical
+    assert "hashpartitioning(cell" in physical
+    got = {r.cell: (list(r.s), r.cnt) for r in folded.collect()}
+    assert got == {1: ([1.5, 2.5], 5), 2: ([1.0, 0.0], 1)}

@@ -1,13 +1,25 @@
 """Replicate the driver's correctness gate locally: run every
 queries() entry on Spark at sf0.01 and compare row count, sorted
 column names, and an order-insensitive value hash against the DuckDB
-oracle_sql(). Usage: python tools/check_contract.py [sf_dir] [query ...]
-(extra args restrict the run to the named queries)
+oracle_sql(). Usage:
+
+    python tools/check_contract.py [sf_dir] [query ...]
+
+Extra args restrict the run to the named queries. Set
+CONTRACT_OUT=/path/file.json to also write the results as a
+driver-format JSON artifact ({name: {rows_match, schema_match,
+hash_match, spark_rows, oracle_rows, err}}) covering EVERY query run
+— the per-round driver snapshot truncates at 50 dict entries, so the
+committed full artifact is this file's output (VERDICT r4 item 2).
+Per-query exceptions are recorded in `err` instead of aborting the
+sweep.
 """
 
 import hashlib
+import json
 import os
 import sys
+import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -64,17 +76,47 @@ def main():
             sys.exit(f"unknown queries: {sorted(unknown)}")
         qs = {k: v for k, v in qs.items() if k in only}
     oracles = entrymod.oracle_sql()
+    results = {}
     failures = 0
     for name, fn in qs.items():
-        sdf = fn(spark, SF_DIR)
-        scols = sdf.columns
-        srows = [tuple(r) for r in sdf.collect()]
+        try:
+            sdf = fn(spark, SF_DIR)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception:
+            failures += 1
+            err = traceback.format_exc(limit=3)
+            results[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": None,
+                "oracle_rows": None, "err": err.strip().splitlines()[-1],
+            }
+            print(f"{name}: FAIL (spark error) {results[name]['err']}")
+            continue
         if name not in oracles:
+            results[name] = {
+                "rows_match": None, "schema_match": None,
+                "hash_match": None, "spark_rows": len(srows),
+                "oracle_rows": None, "err": None,
+                "note": "rows-only: no oracle (estimator query; "
+                        "bounds pytest-asserted)",
+            }
             print(f"{name}: rows-only check — spark rows={len(srows)}")
             continue
-        res = con.execute(oracles[name])
-        ocols = [d[0] for d in res.description]
-        orows = res.fetchall()
+        try:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception:
+            failures += 1
+            err = traceback.format_exc(limit=3)
+            results[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": len(srows),
+                "oracle_rows": None, "err": err.strip().splitlines()[-1],
+            }
+            print(f"{name}: FAIL (oracle error) {results[name]['err']}")
+            continue
         ok_schema = sorted(scols) == sorted(ocols)
         ok_rows = len(srows) == len(orows)
         sh, oh = value_hash(srows, scols), value_hash(orows, ocols)
@@ -82,10 +124,20 @@ def main():
         status = "OK" if (ok_schema and ok_rows and ok_hash) else "FAIL"
         if status == "FAIL":
             failures += 1
+        results[name] = {
+            "rows_match": ok_rows, "schema_match": ok_schema,
+            "hash_match": ok_hash, "spark_rows": len(srows),
+            "oracle_rows": len(orows), "err": None,
+        }
         print(
             f"{name}: {status} rows {len(srows)}/{len(orows)} "
             f"schema {sorted(scols)}=={sorted(ocols)}:{ok_schema} hash {sh}/{oh}"
         )
+    out = os.environ.get("CONTRACT_OUT")
+    if out:
+        with open(out, "w") as f:
+            json.dump(results, f, indent=1)
+        print(f"wrote {out}: {len(results)} queries, {failures} failures")
     spark.stop()
     sys.exit(1 if failures else 0)
 

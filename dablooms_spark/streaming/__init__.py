@@ -4,6 +4,7 @@ from dablooms_spark.streaming.dedup import (
     streaming_first_seen_event_time,
 )
 from dablooms_spark.streaming.incremental import streaming_bloom_update
+from dablooms_spark.streaming.ingest_bridge import streaming_sharded_ingest
 from dablooms_spark.streaming.windowed import windowed_distinct_stream
 
 __all__ = [
@@ -11,5 +12,6 @@ __all__ = [
     "streaming_bloom_update",
     "streaming_first_seen",
     "streaming_first_seen_event_time",
+    "streaming_sharded_ingest",
     "windowed_distinct_stream",
 ]

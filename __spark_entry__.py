@@ -397,6 +397,74 @@ def _q_incremental_sharded_new_users(
     )
 
 
+def _q_streaming_sharded_new_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The foreachBatch BRIDGE through the driver gate: event halves
+    stream as two availableNow micro-batches into the BATCH
+    sharded-scaling checkpoint artifact (streaming_sharded_ingest —
+    restore/probe per-shard, counter-sum collide-merge, atomic
+    manifest commit per batch, replay-guarded by batch_tag). Each
+    batch's first-seen users land in a per-batch parquet; the split
+    is deterministic because exact_seen_provider confirms survivors
+    against the prior half (bloom prunes, exact verifies — the same
+    contract as incremental_new_users). Oracle: first half in which
+    each user appears."""
+    import tempfile
+
+    from dablooms_spark.streaming import streaming_sharded_ingest
+
+    events = load_table(spark, sf_dir, "events")
+    n = _events_row_count(spark, sf_dir, events)
+
+    def half(i: int) -> DataFrame:
+        lo, hi = (0, n // 2) if i == 0 else (n // 2, n)
+        return (
+            events.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi))
+            .select(
+                F.col("user_id").cast("string").alias("ukey"),
+                F.col("user_id").cast("long").alias("rid"),
+            )
+            .distinct()
+        )
+
+    src_dir = tempfile.mkdtemp(prefix="dablooms_ssi_src_")
+    for i in (0, 1):
+        half(i).coalesce(1).write.mode("append").parquet(src_dir)
+    out_dir = tempfile.mkdtemp(prefix="dablooms_ssi_out_")
+    art = tempfile.mkdtemp(prefix="dablooms_ssi_art_")
+
+    def provider(batch_id: int):
+        return (half(0), "ukey") if batch_id == 1 else None
+
+    def sink(new_rows: DataFrame, batch_id: int) -> None:
+        new_rows.select(
+            "ukey", F.lit(batch_id).cast("int").alias("first_seen_half")
+        ).write.mode("append").parquet(out_dir)
+
+    stream = (
+        spark.readStream.schema("ukey string, rid long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = (
+        streaming_sharded_ingest(
+            stream, "ukey", "rid", art, "contract",
+            capacity=max(n // 4, 64), error_rate=0.01, num_shards=4,
+            on_new_rows=sink, exact_seen_provider=provider,
+        )
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="dablooms_ssi_ck_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(out_dir).select(
+        F.col("ukey").cast("long").alias("user_id"), "first_seen_half"
+    )
+
+
 def _q_streaming_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-state streaming dedup through the driver gate: events
     split into two files (event_id halves) stream as two availableNow
@@ -1363,6 +1431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_distinct_stream": _q_windowed_distinct_stream,
         "incremental_new_users": _q_incremental_new_users,
         "incremental_sharded_new_users": _q_incremental_sharded_new_users,
+        "streaming_sharded_new_users": _q_streaming_sharded_new_users,
         "streaming_first_seen_keys": _q_streaming_first_seen,
         "streaming_first_seen_late": _q_streaming_first_seen_late,
         "sql_udaf_distinct": _q_sql_udaf_distinct,
@@ -1900,6 +1969,15 @@ def oracle_sql() -> dict[str, str]:
                        WHEN event_id < 2 * (SELECT COUNT(*) FROM events) // 3
                            THEN 1
                        ELSE 2 END) AS INT) AS first_seen_batch
+            FROM events
+            GROUP BY user_id
+        """,
+        "streaming_sharded_new_users": """
+            SELECT user_id,
+                   CAST(MIN(CASE
+                       WHEN event_id < (SELECT COUNT(*) FROM events) // 2
+                           THEN 0
+                       ELSE 1 END) AS INT) AS first_seen_half
             FROM events
             GROUP BY user_id
         """,

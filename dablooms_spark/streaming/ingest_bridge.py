@@ -70,6 +70,7 @@ def streaming_sharded_ingest(
     salt: int = 8,
     expected_layers: int | None = None,
     on_new_rows: Callable | None = None,
+    exact_seen_provider: Callable | None = None,
 ):
     """Returns a DataStreamWriter (attach .trigger/.option and
     .start() with a STREAMING checkpointLocation — that one tracks
@@ -78,7 +79,13 @@ def streaming_sharded_ingest(
 
     on_new_rows(batch_new_rows_df, batch_id) receives each
     micro-batch's first-seen rows (see module docstring for the
-    replay caveat); default materializes them to drive the split."""
+    replay caveat); default materializes them to drive the split.
+
+    exact_seen_provider(batch_id) -> (exact_seen_df, exact_key) |
+    None supplies the exact confirm set for the bloom-split (same
+    contract as incremental_ingest's exact_seen_df): with it the
+    split is deterministic (bloom prunes, exact verifies); without
+    it, bloom-only (ε-bounded new-row loss, module docstring)."""
     from dablooms_spark.operators.ingest import (
         incremental_ingest_sharded_scaling,
     )
@@ -88,10 +95,16 @@ def streaming_sharded_ingest(
         mgr = CheckpointManager(checkpoint_path)
         if tag in committed_batch_tags(mgr, run_id):
             return  # replayed batch: the artifact already holds it
+        exact_df, exact_key = None, None
+        if exact_seen_provider is not None:
+            es = exact_seen_provider(batch_id)
+            if es is not None:
+                exact_df, exact_key = es
         new_rows, _seq = incremental_ingest_sharded_scaling(
             batch_df, key_col, id_col, checkpoint_path, run_id,
             capacity, error_rate, num_shards=num_shards, seed=seed,
             batch_tag=tag, salt=salt, expected_layers=expected_layers,
+            exact_seen_df=exact_df, exact_key=exact_key,
         )
         if on_new_rows is not None:
             on_new_rows(new_rows, batch_id)

@@ -81,3 +81,87 @@ def test_late_rows_cannot_resurrect_evicted_window(spark, tmp_path_factory):
     assert any(
         r["win_start"] == w13 and r["approx_distinct"] == 2.0 for r in rows
     )
+
+
+class _FakeWinState:
+    """GroupState stand-in for the windowed updater: exists/get/
+    update/remove + watermark + timeout registration capture."""
+
+    def __init__(self, value=None, wm_ms=-1, timed_out=False):
+        self._value = value
+        self._wm_ms = wm_ms
+        self.hasTimedOut = timed_out
+        self.timeout_set = None
+        self.removed = False
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, value):
+        self._value = value
+
+    def remove(self):
+        self._value, self.removed = None, True
+
+    def getCurrentWatermarkMs(self):
+        return self._wm_ms
+
+    def setTimeoutTimestamp(self, ts_ms):
+        self.timeout_set = ts_ms
+
+
+def test_windowed_updater_late_filter_session_tz():
+    """The windowed updater's late filter converts the epoch-UTC
+    watermark into the session zone before comparing naive event
+    times (same protocol as the dedup stream): with session tz
+    America/New_York a naive on-time wall clock reads 5h earlier than
+    its UTC instant and must still be admitted."""
+    import pandas as pd
+
+    from dablooms_spark.streaming.windowed import make_windowed_theta_updater
+
+    wm_utc = pd.Timestamp("2026-01-01 12:00:00", tz="UTC")
+    wm_ms = int(wm_utc.value // 1_000_000)
+    win_end_ms = wm_ms + 3_600_000  # window still open
+
+    def run(session_tz, naive_ts, state):
+        upd = make_windowed_theta_updater(
+            64, late_ts_col="ts", session_tz=session_tz
+        )
+        pdf = pd.DataFrame({
+            "key": [f"k{i}" for i in range(len(naive_ts))],
+            "ts": pd.to_datetime(naive_ts),
+        })
+        return list(
+            upd((pd.Timestamp("2026-01-01 11:00:00"), win_end_ms, "g"),
+                iter([pdf]), state)
+        )
+
+    # NY wall 07:30 == 12:30 UTC (on time); 06:30 == 11:30 UTC (late)
+    st = _FakeWinState(wm_ms=wm_ms)
+    out = run("America/New_York",
+              ["2026-01-01 06:30:00", "2026-01-01 07:30:00"], st)
+    assert len(out) == 1 and out[0]["approx_distinct"].iloc[0] == 1.0
+    assert st.timeout_set == win_end_ms and st.exists
+
+    # entirely-late batch for a group with NO state: no resurrection,
+    # no state write, no timeout registration
+    st2 = _FakeWinState(wm_ms=wm_ms)
+    out2 = run("UTC", ["2026-01-01 10:00:00"], st2)
+    assert out2 == [] and not st2.exists and st2.timeout_set is None
+
+    # entirely-late batch for an OPEN group: state and prior timeout
+    # untouched, nothing emitted
+    blob = None
+    st3 = _FakeWinState(wm_ms=wm_ms)
+    run("UTC", ["2026-01-01 12:30:00"], st3)  # seed real state
+    blob = bytes(st3.get[0])
+    st4 = _FakeWinState(value=st3.get, wm_ms=wm_ms)
+    out4 = run("UTC", ["2026-01-01 10:00:00"], st4)
+    assert out4 == [] and bytes(st4.get[0]) == blob
+    assert st4.timeout_set is None

@@ -146,6 +146,44 @@ def _q_sharded_scaling_semi_lineitem(spark: SparkSession, sf_dir: str) -> DataFr
     ).select("l_orderkey", "l_linenumber", "l_partkey")
 
 
+def _q_generation_window_semi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rotating-generation windowed membership ("seen in the last N
+    days?"): one counting bloom per (2-day generation, key-hash shard)
+    over user:event_type keys — rows never shuffle, blobs do — the
+    live window's blobs counter-summed per shard (membership-OR
+    preserved; counts only grow), survivors confirmed exactly. Expiry
+    at scale is a gen-partition drop, never a per-key decrement; per-
+    generation semantics stay counting_bloom add/check
+    (src/dablooms.c ≈L202/≈238)."""
+    from dablooms_spark.operators.generations import (
+        build_generation_filters,
+        gen_expr,
+        generation_semi_join,
+    )
+
+    gen_sec = 2 * 86400
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "key", F.concat_ws(":", "user_id", "event_type")
+    )
+    gens = build_generation_filters(
+        events, "key", "ts", gen_sec, capacity=2000, error_rate=0.01,
+        num_shards=8,
+    )
+    as_of = int(
+        events.agg(F.max(gen_expr("ts", gen_sec)).alias("g")).collect()[0]["g"]
+    )
+    probe = events.select("key", "user_id", "event_type").distinct()
+    exact = (
+        events.filter(gen_expr("ts", gen_sec) > as_of - 3)
+        .select(F.col("key").alias("wkey"))
+        .distinct()
+    )
+    return generation_semi_join(
+        probe, "key", gens, as_of, window=3,
+        exact_df=exact, exact_key="wkey", num_shards=8,
+    ).select("user_id", "event_type")
+
+
 def _q_auto_semi_join_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strategy-choosing exact semi join (auto_semi_join): lineitems
     whose part is in the large-size part dimension. At sf0.01 the dim
@@ -1424,6 +1462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "auto_semi_join_lineitem": _q_auto_semi_join_lineitem,
         "sharded_semi_join_orders": _q_sharded_semi_join_orders,
         "sharded_scaling_semi_lineitem": _q_sharded_scaling_semi_lineitem,
+        "generation_window_semi_events": _q_generation_window_semi_events,
         "frame_samples_docs": _q_frame_samples,
         "extracted_text_docs": _q_extracted_text,
         "dedup_clusters_chains": _q_dedup_clusters_chains,
@@ -1827,6 +1866,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_orderkey IN (
                 SELECT o_orderkey FROM orders WHERE o_totalprice > 150000
             )
+        """,
+        # rotating-generation window: distinct (user, type) pairs with
+        # any event in the last three 2-day generations (gen =
+        # floor(epoch/172800); window is (max_gen-3, max_gen])
+        "generation_window_semi_events": """
+            SELECT DISTINCT user_id, event_type
+            FROM events
+            WHERE floor(epoch(ts) / 172800) >
+                  (SELECT max(floor(epoch(ts) / 172800)) FROM events) - 3
         """,
         "streaming_first_seen_keys": """
             SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS ukey,

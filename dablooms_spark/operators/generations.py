@@ -194,6 +194,36 @@ def expire_generations(
     return live_window(gens_df, as_of_gen, window)
 
 
+def write_generation_artifact(
+    gens_df: DataFrame, path: str, mode: str = "overwrite"
+) -> None:
+    """Persist the (gen, shard, blob, n) filter set PARTITIONED BY
+    gen — the layout where the live-window read is file-listing
+    partition pruning and expiry is a whole-partition delete (drop
+    the gen=<old> directories; no counter is ever touched). New
+    generations append with mode='append': gen values never collide
+    across time buckets, so append is conflict-free."""
+    gens_df.write.mode(mode).partitionBy("gen").parquet(path)
+
+
+def read_generation_window(
+    spark, path: str, as_of_gen: int, window: int
+) -> DataFrame:
+    """Scan ONLY the live window's generation partitions of a
+    write_generation_artifact layout (the gen filter lands in the
+    scan's PartitionFilters — plan-asserted in tests). Columns come
+    back in the build schema (gen long, shard long, blob binary,
+    n long); gen is re-cast from the inferred partition-column type
+    AFTER the pruning filter so pruning still applies."""
+    df = live_window(spark.read.parquet(path), as_of_gen, window)
+    return df.select(
+        F.col("gen").cast("long").alias("gen"),
+        F.col("shard").cast("long").alias("shard"),
+        F.col("blob"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
 def generation_window_probe(
     probe_df: DataFrame,
     key_col: str,

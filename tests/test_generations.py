@@ -142,6 +142,76 @@ def test_generation_semi_join_exact_confirm(spark):
     }
 
 
+def test_artifact_roundtrip_prunes_partitions(spark, tmp_path_factory):
+    """gen-partitioned artifact: the window read prunes at the
+    file-listing level (PartitionFilters on gen), probing the
+    restored window matches probing the in-memory build, and expiry
+    is a partition-set shrink."""
+    from dablooms_spark.operators.generations import (
+        read_generation_window,
+        write_generation_artifact,
+    )
+
+    df, g0 = _fixture(spark)
+    gens = build_generation_filters(
+        df, "key", "ts", "1 day", capacity=64, error_rate=0.01, num_shards=4
+    )
+    path = str(tmp_path_factory.mktemp("genart")) + "/gens"
+    write_generation_artifact(gens, path)
+
+    win = read_generation_window(spark, path, g0 + 3, 2)
+    assert [f.name for f in win.schema.fields] == ["gen", "shard", "blob", "n"]
+    sc = spark.sparkContext
+    plan = sc._jvm.PythonSQLUtils.explainString(
+        win._jdf.queryExecution(), "formatted"
+    )
+    part_filters = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert part_filters and "gen" in part_filters[0], plan
+    assert sorted({r.gen for r in win.collect()}) == [g0 + 2, g0 + 3]
+
+    probe = spark.createDataFrame([(k,) for k in "abcdez"], "key string")
+    from_disk = generation_window_probe(probe, "key", win, g0 + 3, 2, num_shards=4)
+    in_mem = generation_window_probe(probe, "key", gens, g0 + 3, 2, num_shards=4)
+    assert {(r.key, r.is_member) for r in from_disk.collect()} == {
+        (r.key, r.is_member) for r in in_mem.collect()
+    }
+
+    # append of a NEW generation coexists with pruning
+    nxt = spark.createDataFrame(
+        [("f", dt.datetime(2024, 3, 5, 8, 0, 0))], "key string, ts timestamp"
+    )
+    write_generation_artifact(
+        build_generation_filters(
+            nxt, "key", "ts", "1 day", capacity=64, error_rate=0.01, num_shards=4
+        ),
+        path,
+        mode="append",
+    )
+    win2 = read_generation_window(spark, path, g0 + 4, 2)
+    got = {
+        r.key: r.is_member
+        for r in generation_window_probe(
+            probe.union(spark.createDataFrame([("f",)], "key string")),
+            "key", win2, g0 + 4, 2, num_shards=4,
+        ).collect()
+    }
+    assert got["f"] is True and got["e"] is True and got["a"] is False
+
+
+def test_build_plan_is_blob_only(spark):
+    """The generation build's only Exchange moves per-(gen, shard)
+    blobs, never rows: below it the plan is scan -> project ->
+    MapInArrow, sort-free."""
+    df, _ = _fixture(spark)
+    gens = build_generation_filters(
+        df, "key", "ts", "1 day", capacity=64, error_rate=0.01, num_shards=4
+    )
+    plan = gens._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    below = plan.split("Exchange", 1)[1]
+    assert "MapInArrow" in below and "Sort" not in below, plan
+
+
 def test_bad_window_rejected(spark):
     df, g0 = _fixture(spark)
     gens = build_generation_filters(

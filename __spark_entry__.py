@@ -558,6 +558,52 @@ def _q_streaming_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_streaming_ttl_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming TTL dedup through the driver gate: events stream as
+    ONE availableNow micro-batch into streaming_ttl_first_seen (2-day
+    generations, window 3 — the streaming twin of the rotating-
+    generation batch filter). A row is emitted iff its key was silent
+    for >= 3 generations (sliding TTL: every sighting refreshes), so
+    keys re-emit after expiry — unlike first-seen. The single batch
+    makes processed order = (ts, event_id) order, so the emitted set
+    equals the NOT-EXISTS oracle exactly; at this load (<=750 keys per
+    window in 20k-capacity generation filters) the deterministic hash
+    set produces zero false-positive suppressions."""
+    import tempfile
+
+    from dablooms_spark.streaming import streaming_ttl_first_seen
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        F.concat_ws(":", "user_id", "event_type").alias("ukey"),
+    )
+    src_dir = tempfile.mkdtemp(prefix="dablooms_ttl_src_")
+    events.coalesce(1).write.mode("append").parquet(src_dir)
+    stream = spark.readStream.schema(events.schema).parquet(src_dir)
+    out = streaming_ttl_first_seen(
+        stream, "ukey", "ts", "2 days", window=3,
+        capacity_per_generation=20000, error_rate=0.01, num_shards=8,
+        order_cols=["event_id"],
+    )
+    sink = "ttl_first_seen_sink"
+    if sink in [t.name for t in spark.catalog.listTables()]:
+        spark.catalog.dropTempView(sink)
+    ckpt = tempfile.mkdtemp(prefix="dablooms_ttl_ckpt_")
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(f"SELECT event_id, user_id, event_type FROM {sink}")
+
+
 def _q_streaming_first_seen_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time streaming dedup with a LATE-DATA story, through the
     driver gate: the month's events split at a fixed calendar cutoff —
@@ -1472,6 +1518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_sharded_new_users": _q_incremental_sharded_new_users,
         "streaming_sharded_new_users": _q_streaming_sharded_new_users,
         "streaming_first_seen_keys": _q_streaming_first_seen,
+        "streaming_ttl_events": _q_streaming_ttl_events,
         "streaming_first_seen_late": _q_streaming_first_seen_late,
         "sql_udaf_distinct": _q_sql_udaf_distinct,
         "bloom_anti_join_lineitem": _q_bloom_anti_join_lineitem,
@@ -1875,6 +1922,22 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE floor(epoch(ts) / 172800) >
                   (SELECT max(floor(epoch(ts) / 172800)) FROM events) - 3
+        """,
+        # sliding-TTL dedup: emit iff no earlier same-key event has a
+        # generation (2-day bucket) within the last 3 generations —
+        # every sighting refreshes the TTL
+        "streaming_ttl_events": """
+            SELECT e.event_id, e.user_id, e.event_type
+            FROM events e
+            WHERE NOT EXISTS (
+                SELECT 1 FROM events p
+                WHERE p.user_id = e.user_id
+                  AND p.event_type = e.event_type
+                  AND (p.ts < e.ts
+                       OR (p.ts = e.ts AND p.event_id < e.event_id))
+                  AND floor(epoch(p.ts) / 172800) >
+                      floor(epoch(e.ts) / 172800) - 3
+            )
         """,
         "streaming_first_seen_keys": """
             SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS ukey,

@@ -5,6 +5,7 @@ from dablooms_spark.streaming.dedup import (
 )
 from dablooms_spark.streaming.incremental import streaming_bloom_update
 from dablooms_spark.streaming.ingest_bridge import streaming_sharded_ingest
+from dablooms_spark.streaming.ttl import streaming_ttl_first_seen
 from dablooms_spark.streaming.windowed import windowed_distinct_stream
 
 __all__ = [
@@ -13,5 +14,6 @@ __all__ = [
     "streaming_first_seen",
     "streaming_first_seen_event_time",
     "streaming_sharded_ingest",
+    "streaming_ttl_first_seen",
     "windowed_distinct_stream",
 ]

@@ -749,6 +749,24 @@ def _q_frequent_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frequent_keys(events, "user_id", min_count=30)
 
 
+def _q_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-PASS Misra-Gries heavy hitters in the EXACT regime,
+    oracle-checked: with k=8192 >= total distinct users no trim ever
+    fires in any partial or merge, the cumulative error E is 0, and
+    cnt_lo == cnt_hi == the exact count (the SQL oracle mirrors both
+    bounds from one GROUP BY). Same operator and blob-merge path as
+    the approximate small-k mode; only the accuracy knob differs.
+    Unlike frequent_users_events (pigeonhole + CMS + exact recount,
+    which re-reads surviving candidates), this scans the data ONCE —
+    the summary itself is the answer."""
+    from dablooms_spark.operators.sketch_agg import heavy_hitters_mg
+
+    events = load_table(spark, sf_dir, "events")
+    return heavy_hitters_mg(events, "user_id", min_count=70, k=8192).orderBy(
+        "user_id"
+    )
+
+
 def _q_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact grouped distinct (grounds the HLL estimate query below)."""
     events = load_table(spark, sf_dir, "events")
@@ -1525,6 +1543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scaling_bloom_membership": _q_scaling_bloom_membership,
         "scaling_dense_membership": _q_scaling_dense_membership,
         "frequent_users_events": _q_frequent_users,
+        "heavy_hitters_mg_events": _q_heavy_hitters_mg,
         "distinct_users_by_type": _q_distinct_users_by_type,
         "hll_distinct_by_type": _q_hll_distinct_by_type,
         "value_quantiles_tdigest": _q_value_quantiles_tdigest,
@@ -1847,6 +1866,15 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY user_id
             HAVING count(*) >= 30
+        """,
+        "heavy_hitters_mg_events": """
+            SELECT CAST(user_id AS VARCHAR) AS user_id,
+                   count(*) AS cnt_lo,
+                   count(*) AS cnt_hi
+            FROM events
+            GROUP BY user_id
+            HAVING count(*) >= 70
+            ORDER BY user_id
         """,
         "distinct_users_by_type": """
             SELECT CAST(event_type AS VARCHAR) AS event_type,

@@ -5,6 +5,7 @@ from dablooms_spark.core.hll import HyperLogLog
 from dablooms_spark.core.cms import CountMinSketch
 from dablooms_spark.core.tdigest import TDigest
 from dablooms_spark.core.kll import KLLSketch
+from dablooms_spark.core.mg import MisraGries
 
 __all__ = [
     "BloomGeometry",
@@ -15,4 +16,5 @@ __all__ = [
     "CountMinSketch",
     "TDigest",
     "KLLSketch",
+    "MisraGries",
 ]

@@ -6,6 +6,7 @@ from dablooms_spark.core.cms import CountMinSketch
 from dablooms_spark.core.counting_bloom import CountingBloom
 from dablooms_spark.core.hll import HyperLogLog
 from dablooms_spark.core.kll import KLLSketch
+from dablooms_spark.core.mg import MisraGries
 from dablooms_spark.core.scaling_bloom import ScalingBloom
 from dablooms_spark.core.tdigest import TDigest
 from dablooms_spark.core.theta import ThetaSketch
@@ -19,6 +20,7 @@ _BY_MAGIC = {
     b"DBTD": "tdigest",
     b"DBKL": "kll",
     b"DBTH": "theta",
+    b"DBMG": "mg",
 }
 
 
@@ -41,4 +43,6 @@ def loads(blob: bytes, seed: int = DABLOOMS_SEED):
         return KLLSketch.from_bytes(bytes(blob))
     if kind == "theta":
         return ThetaSketch.from_bytes(bytes(blob))
+    if kind == "mg":
+        return MisraGries.from_bytes(bytes(blob))
     raise ValueError(f"unknown sketch blob magic {magic!r}")

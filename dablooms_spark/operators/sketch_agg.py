@@ -29,6 +29,7 @@ from dablooms_spark.core.cms import CountMinSketch
 from dablooms_spark.core.counting_bloom import CountingBloom
 from dablooms_spark.core.hll import HyperLogLog
 from dablooms_spark.core.kll import KLLSketch
+from dablooms_spark.core.mg import MisraGries
 from dablooms_spark.core.tdigest import TDigest
 from dablooms_spark.core.theta import ThetaSketch
 from dablooms_spark.functions.arrow_utils import arrow_byte_view
@@ -40,6 +41,9 @@ _KINDS = {
     "tdigest": (TDigest, "numeric"),
     "kll": (KLLSketch, "numeric"),
     "theta": (ThetaSketch, "string"),
+    # Misra-Gries heavy hitters (factory kwargs: k; exact when total
+    # distinct <= k, else counts carry a <= N/(k+1) one-sided error)
+    "mg": (MisraGries, "string"),
     # per-group membership filters (e.g. one seen-URL filter per host);
     # factory kwargs: capacity, error_rate
     "counting_bloom": (CountingBloom, "string"),
@@ -417,6 +421,41 @@ def frequent_keys(
     result.count()
     sdf.unpersist()
     return result
+
+
+def heavy_hitters_mg(
+    df: DataFrame,
+    key_col: str,
+    min_count: int,
+    k: int = 1024,
+) -> DataFrame:
+    """ONE-PASS heavy hitters via a mergeable Misra-Gries summary —
+    the single-scan complement of `frequent_keys` (which is exact for
+    any k but re-reads the surviving candidates for the recount).
+
+    Shape: phase-1 partial MG per input partition (mapInArrow, batch
+    rows pre-grouped by murmur words, no per-row Python), phase-2
+    blob-only tree merge — the only shuffle moves <= k-entry blobs, and
+    the driver holds exactly one <= k-entry summary at the end, never
+    rows. At 100 TB the data is scanned ONCE; there is no candidate
+    semi-join or second aggregation pass.
+
+    Returns (key_col, cnt_lo, cnt_hi): cnt_lo <= f(key) <= cnt_hi with
+    cnt_hi - cnt_lo = E <= N/(k+1) (Agarwal et al., Mergeable
+    Summaries, PODS 2012). Every key with true count >= min_count
+    appears whenever min_count > E — no false negatives above the
+    error floor; keys in [min_count - E, min_count) may appear too.
+    With k >= total distinct keys E = 0 and the result is EXACT (the
+    oracle-checked regime). Rows are bounded by k, so the output is
+    broadcast-size by construction.
+    """
+    spark = df.sparkSession
+    sk = sketch_agg(df, key_col, "mg", k=k)
+    hh = sk.heavy_hitters(min_count)
+    return spark.createDataFrame(
+        [(key.decode("utf-8"), lo, hi) for key, lo, hi in hh],
+        schema=f"{key_col} string, cnt_lo long, cnt_hi long",
+    )
 
 
 def approx_join_size(

@@ -240,6 +240,10 @@ def register_sketch_udafs(spark) -> None:
     # theta with a generous k: EXACT distinct counts while a group's
     # cardinality stays under k (the oracle-checkable mode)
     spark.udf.register("dablooms_theta_agg", sketch_udaf("theta", k=65536))
+    # Misra-Gries with a generous k: EXACT per-key counts while a
+    # group's distinct-key count stays under k (same oracle-checkable
+    # regime as theta); blobs merge via dablooms_merge_agg like the rest
+    spark.udf.register("dablooms_mg_agg", sketch_udaf("mg", k=8192))
     spark.udf.register("dablooms_merge_agg", merge_sketch_udaf())
     spark.udf.register("dablooms_hll_estimate", _hll_estimate_udf())
     spark.udf.register("dablooms_estimate", _hll_estimate_udf())

@@ -784,6 +784,24 @@ def _q_hll_distinct_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return approx_distinct_by(events, "event_type", "user_id", p=14)
 
 
+def _q_hll_sparse_distinct_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL pipeline in its EXACT regime, oracle-checked: with
+    sparse=True (HLL++-style sparse mode, core/hll.py) every per-group
+    partial stores the distinct 64-bit hash words themselves, unions
+    survive the blob merges, and while a group's cardinality stays
+    under m/8 = 2048 the estimate IS the exact distinct count — same
+    operator and merge path as the dense estimator query
+    (hll_distinct_by_type); only the representation knob differs.
+    Exactness caveat is the theta sketch's: two distinct keys sharing
+    a 64-bit murmur word would merge (deterministic, ~n²/2⁶⁵)."""
+    from dablooms_spark.operators.sketch_agg import approx_distinct_by
+
+    events = load_table(spark, sf_dir, "events")
+    return approx_distinct_by(
+        events, "event_type", "user_id", p=14, sparse=True
+    ).orderBy("event_type")
+
+
 def _q_value_quantiles_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t-digest per-group quantiles — approximate, rows-only check."""
     from dablooms_spark.operators.sketch_agg import quantiles_by
@@ -1546,6 +1564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters_mg_events": _q_heavy_hitters_mg,
         "distinct_users_by_type": _q_distinct_users_by_type,
         "hll_distinct_by_type": _q_hll_distinct_by_type,
+        "hll_sparse_distinct_by_type": _q_hll_sparse_distinct_by_type,
         "value_quantiles_tdigest": _q_value_quantiles_tdigest,
         "tdigest_quantiles_exact": _q_tdigest_quantiles_exact,
         "value_quantiles_kll": _q_value_quantiles_kll,
@@ -1875,6 +1894,13 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY user_id
             HAVING count(*) >= 70
             ORDER BY user_id
+        """,
+        "hll_sparse_distinct_by_type": """
+            SELECT CAST(event_type AS VARCHAR) AS event_type,
+                   COUNT(DISTINCT user_id) AS approx_distinct
+            FROM events
+            GROUP BY event_type
+            ORDER BY event_type
         """,
         "distinct_users_by_type": """
             SELECT CAST(event_type AS VARCHAR) AS event_type,

@@ -270,10 +270,18 @@ def rollup_distinct(
 
 
 def approx_distinct_by(
-    df: DataFrame, group_col: str, key_col: str, p: int = 14
+    df: DataFrame, group_col: str, key_col: str, p: int = 14, sparse: bool = False
 ) -> DataFrame:
-    """HLL distinct-count per group: (group, approx_distinct long)."""
-    blobs = grouped_sketch_agg(df, group_col, key_col, "hll", p=p)
+    """HLL distinct-count per group: (group, approx_distinct long).
+
+    sparse=True starts every partial in the HLL++-style sparse mode
+    (core/hll.py): groups whose distinct count stays under m/8 hold
+    the exact hash-word set through the partials AND the blob merges,
+    so their estimate is the EXACT distinct count (the oracle-checked
+    regime); bigger groups upgrade to dense registers losslessly and
+    answer with the usual ~1.04/sqrt(m) error. Blob shuffle bytes only
+    shrink: a sparse blob never outgrows the register array."""
+    blobs = grouped_sketch_agg(df, group_col, key_col, "hll", p=p, sparse=sparse)
 
     def estimate(pdf: pd.DataFrame) -> pd.DataFrame:
         ests = [

@@ -983,6 +983,28 @@ def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bloom_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination THROUGH the sharded-bloom filter topology
+    (sampling.bloom_decontaminate): bench shingles → sharded counting
+    bloom (filter-as-DataFrame, never broadcast, never assembled on
+    the driver), corpus shingles cogroup-probe it, and only bloom-hit
+    candidates pay the exact shingle-join confirm — bloom misses are
+    definite negatives, FPs are washed out by the confirm, so the
+    result EQUALS plain decontaminate and the oracle is the exact
+    NOT-IN over the pair join. Same bench/corpus split and min_hits
+    as contamination_docs."""
+    from dablooms_spark.operators.sampling import bloom_decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 10)
+    corpus = docs.filter(F.col("doc_id") >= 10)
+    return (
+        bloom_decontaminate(corpus, bench, min_hits=3, num_shards=16)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
 def _q_host_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Docs per host through the SALTED two-level aggregation (web
     host frequency is Zipf — the salt spreads a hot host across
@@ -1578,6 +1600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical_docs": _q_url_canonical_docs,
         "split_assignment_docs": _q_split_assignment,
         "contamination_docs": _q_contamination,
+        "bloom_decontaminated_docs": _q_bloom_decontaminated,
         "host_counts_salted": _q_host_counts_salted,
         "exact_dedup_docs": _q_exact_dedup,
         "minhash_dedup_pairs": _q_minhash_dedup_pairs,
@@ -2250,6 +2273,28 @@ def oracle_sql() -> dict[str, str]:
             FROM c JOIN b USING (sh)
             GROUP BY c.doc_id, b.bench_id
             HAVING count(*) >= 3
+        """,
+        "bloom_decontaminated_docs": """
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                       FROM documents),
+            sh AS (SELECT doc_id,
+                          unnest(list_distinct(
+                              [array_to_string(toks[i:i+4], ' ')
+                               for i in range(1, greatest(len(toks)-4, 1)+1)]
+                          )) AS sh
+                   FROM t),
+            c AS (SELECT doc_id, sh FROM sh WHERE doc_id >= 10),
+            b AS (SELECT DISTINCT doc_id AS bench_id, sh FROM sh
+                  WHERE doc_id < 10),
+            bad AS (SELECT c.doc_id
+                    FROM c JOIN b USING (sh)
+                    GROUP BY c.doc_id, b.bench_id
+                    HAVING count(*) >= 3)
+            SELECT d.doc_id, d.source
+            FROM documents d
+            WHERE d.doc_id >= 10
+              AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+            ORDER BY d.doc_id
         """,
         "repetition_scores_docs": """
             WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks

@@ -146,10 +146,16 @@ def contamination_pairs(
     k: int = 5,
     min_hits: int = 1,
     hashed: bool = False,
+    broadcast_bench: bool = True,
 ) -> DataFrame:
     """(doc_id, bench_id, n_shared) — corpus docs sharing ≥ min_hits
     token k-gram shingles with a benchmark doc. The benchmark side is
     broadcast; the corpus side never shuffles rows.
+
+    broadcast_bench=False leaves the join strategy to Catalyst/AQE
+    (shuffle-hash for a benchmark too big to broadcast) — the mode
+    bloom_decontaminate's confirm stage uses, where the corpus side
+    has already been bloom-pruned to candidates.
 
     hashed=False (default) joins shingle STRINGS — collision-free, so
     n_shared is exactly the distinct-shingle overlap. hashed=True
@@ -167,8 +173,9 @@ def contamination_pairs(
         F.col(bid).alias("bench_id"),
         F.explode(sh_col(text_col, k=k)).alias("sh"),
     ).distinct()
+    b_side = F.broadcast(b) if broadcast_bench else b
     return (
-        c.join(F.broadcast(b), "sh")
+        c.join(b_side, "sh")
         .groupBy("doc_id", "bench_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_hits)
@@ -189,6 +196,89 @@ def decontaminate(
     set) — the decontamination pass itself."""
     bad = contamination_pairs(
         corpus, benchmark, text_col, id_col, bench_id_col, k, min_hits, hashed
+    ).select("doc_id").distinct()
+    return corpus.join(
+        bad.withColumnRenamed("doc_id", "__bad_id"),
+        on=F.col(id_col) == F.col("__bad_id"),
+        how="left_anti",
+    )
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_id_col: str | None = None,
+    k: int = 5,
+    min_hits: int = 1,
+    num_shards: int = 64,
+    error_rate: float = 1e-3,
+    capacity: int | None = None,
+    seed: int | None = None,
+) -> DataFrame:
+    """`decontaminate` for eval sets too big to broadcast: the bench
+    shingle set becomes a SHARDED counting-bloom filter-as-DataFrame
+    (operators/sharded.py — blob-only shuffles, never assembled on
+    the driver), corpus shingles probe it via the cogroup topology,
+    and only docs with ≥1 bloom-hit shingle — no false negatives, so
+    bloom-clean docs are PROVABLY clean — pay for the exact
+    shingle-join confirm (contamination_pairs with
+    broadcast_bench=False, so the confirm join is shuffle-sized by
+    the ε+true-hit candidate set, not the full corpus). The result is
+    EXACTLY `decontaminate(corpus, benchmark, ...)`: bloom FPs are
+    washed out by the confirm stage; only the cost model differs.
+
+    At 100 TB with a 100 GB eval set neither side fits a broadcast
+    and an all-shingle shuffle join moves the whole corpus; this
+    topology moves (a) bench shingles once into ~capacity/shards
+    blobs, (b) corpus shingle hashes through the cogroup probe, and
+    (c) the candidate sliver through the exact join.
+
+    `capacity` defaults to one approx_count_distinct pass over the
+    bench shingles (×1.2 headroom); pass it explicitly to skip that
+    action when the eval-set size is known.
+    """
+    from dablooms_spark.functions.murmur import DABLOOMS_SEED
+    from dablooms_spark.operators.sharded import (
+        build_sharded_counting_bloom,
+        sharded_bloom_probe,
+    )
+
+    seed = DABLOOMS_SEED if seed is None else seed
+    bench_sh = benchmark.select(
+        F.explode(shingle_strings(text_col, k=k)).alias("sh")
+    )
+    if capacity is None:
+        approx = bench_sh.agg(
+            F.approx_count_distinct("sh", 0.02).alias("n")
+        ).collect()[0]["n"]
+        capacity = max(int(approx * 1.2), num_shards)
+    blobs = build_sharded_counting_bloom(
+        bench_sh.distinct(), "sh", capacity, error_rate, num_shards, seed=seed
+    )
+
+    corpus_sh = corpus.select(
+        F.col(id_col).alias("__cand_id"),
+        F.explode(shingle_strings(text_col, k=k)).alias("sh"),
+    )
+    probed = sharded_bloom_probe(
+        corpus_sh, "sh", blobs, num_shards, seed=seed, out_col="__hit"
+    )
+    cand_ids = probed.filter(F.col("__hit")).select("__cand_id").distinct()
+    candidates = corpus.join(
+        cand_ids, on=F.col(id_col) == F.col("__cand_id"), how="left_semi"
+    )
+    bad = contamination_pairs(
+        candidates,
+        benchmark,
+        text_col,
+        id_col,
+        bench_id_col,
+        k,
+        min_hits,
+        hashed=False,
+        broadcast_bench=False,
     ).select("doc_id").distinct()
     return corpus.join(
         bad.withColumnRenamed("doc_id", "__bad_id"),

@@ -108,6 +108,54 @@ def test_contamination_and_decontaminate(spark):
     assert contamination_pairs(corpus, bench, min_hits=3).count() == 0
 
 
+def test_bloom_decontaminate_equals_exact(spark):
+    """bloom_decontaminate == decontaminate on the same input: bloom
+    misses are definite negatives, FPs are washed out by the exact
+    confirm stage — only the cost topology differs."""
+    from dablooms_spark.operators.sampling import bloom_decontaminate
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog today"),
+        (1, "completely unrelated benchmark prompt about math"),
+        (10, "the quick brown fox jumps over a sleeping cat instead"),
+        (11, "novel training text with no overlap whatsoever here"),
+    ] + [(100 + i, f"filler document number {i} with distinct words only") for i in range(20)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    bench = docs.filter("doc_id < 10")
+    corpus = docs.filter("doc_id >= 10")
+
+    exact = {r["doc_id"] for r in decontaminate(corpus, bench, min_hits=1).collect()}
+    got = {
+        r["doc_id"]
+        for r in bloom_decontaminate(
+            corpus, bench, min_hits=1, num_shards=4
+        ).collect()
+    }
+    assert got == exact
+    assert 10 not in got and 11 in got
+
+    # a tiny fixed capacity forces a high-FP regime: the confirm stage
+    # must still wash every false positive out
+    got_fp = {
+        r["doc_id"]
+        for r in bloom_decontaminate(
+            corpus, bench, min_hits=1, num_shards=4,
+            capacity=8, error_rate=0.4,
+        ).collect()
+    }
+    assert got_fp == exact
+
+    # min_hits above the true overlap keeps everything
+    all_ids = {r["doc_id"] for r in corpus.collect()}
+    kept = {
+        r["doc_id"]
+        for r in bloom_decontaminate(
+            corpus, bench, min_hits=3, num_shards=4
+        ).collect()
+    }
+    assert kept == all_ids
+
+
 def test_stratified_sample_exact_quota_and_stability(spark):
     from dablooms_spark.operators.sampling import stratified_sample
 

@@ -244,6 +244,44 @@ def _q_scaling_dense_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_layer_fp_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-layer filter-health report (observed_fp_rate_per_layer):
+    the north-rule acceptance criterion — observed FP within the
+    configured bound AT EACH SCALING LAYER — as a query. A
+    fixed-boundary scaling filter over orders keys (uniform ε/(2L)
+    schedule; ids are the orderkeys spread 2x, so every fixed band sits
+    at ~50% load — real headroom, the production sizing regime),
+    probed with a disjoint key set. Every reported
+    column is deterministic: layer loads/boundaries are pure functions
+    of the id values (the DuckDB oracle recomputes them as width-
+    (capacity-1) bands), the schedule is the closed form ε/(2L), and
+    within_bound is TRUE at this load factor with the pinned seed —
+    the same chk_results criterion test_dablooms.c:≈255 asserts."""
+    from dablooms_spark.operators import observed_fp_rate_per_layer
+
+    cap = 2_000
+    orders = load_table(spark, sf_dir, "orders")
+    keys = orders.select(
+        F.concat(F.lit("o:"), "o_orderkey").alias("k"),
+        (F.col("o_orderkey") * 2).alias("id"),
+    )
+    max_id = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    n_layers = (2 * int(max_id)) // (cap - 1) + 1
+    filt = build_scaling_bloom(
+        keys, "k", "id", capacity=cap, error_rate=0.05,
+        id_layout="dense", expected_layers=n_layers,
+    )
+    neg = orders.select(F.concat(F.lit("x:"), "o_orderkey").alias("k"))
+    return (
+        observed_fp_rate_per_layer(neg, "k", filt)
+        .select(
+            "layer", "first_id", "layer_eps", "capacity", "n", "probes",
+            "within_bound",
+        )
+        .orderBy("layer")
+    )
+
+
 def _q_dedup_clusters_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components (iterative min-label propagation, the
     pairs->clusters dedup step). Deterministic 7-doc chain graph over
@@ -1582,6 +1620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_anti_join_lineitem": _q_bloom_anti_join_lineitem,
         "scaling_bloom_membership": _q_scaling_bloom_membership,
         "scaling_dense_membership": _q_scaling_dense_membership,
+        "layer_fp_report": _q_layer_fp_report,
         "frequent_users_events": _q_frequent_users,
         "heavy_hitters_mg_events": _q_heavy_hitters_mg,
         "distinct_users_by_type": _q_distinct_users_by_type,
@@ -1902,6 +1941,24 @@ def oracle_sql() -> dict[str, str]:
             FROM events, n
             WHERE event_id >= n.c // 2
               AND (user_id || ':' || event_type) IN (SELECT seen_key FROM firsth)
+        """,
+        "layer_fp_report": """
+            WITH m AS (SELECT max(o_orderkey) AS mx, count(*) AS probes
+                       FROM orders),
+            bands AS (
+                SELECT CAST((o_orderkey * 2) // 1999 AS INT) AS layer,
+                       count(*) AS n
+                FROM orders GROUP BY 1
+            )
+            SELECT b.layer,
+                   CAST(b.layer AS BIGINT) * 1999 AS first_id,
+                   0.05::DOUBLE * 0.5 / ((m.mx * 2) // 1999 + 1) AS layer_eps,
+                   CAST(2000 AS BIGINT) AS capacity,
+                   b.n,
+                   m.probes,
+                   TRUE AS within_bound
+            FROM bands b, m
+            ORDER BY layer
         """,
         "frequent_users_events": """
             SELECT CAST(user_id AS VARCHAR) AS user_id, count(*) AS cnt

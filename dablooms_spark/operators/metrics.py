@@ -18,6 +18,9 @@ report carries the probe count alongside the rate.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -71,6 +74,118 @@ def observed_fp_rate(
                 <= F.lit(float(bound))
             ).alias("within_bound"),
         )
+    )
+
+
+def observed_fp_rate_per_layer(
+    negatives: DataFrame,
+    key_col: str,
+    scaling,
+    seed: int = DABLOOMS_SEED,
+) -> DataFrame:
+    """Per-LAYER chk_results: one row per scaling layer —
+    (layer, first_id, layer_eps, capacity, n, probes, false_positives,
+    fp_rate, within_bound) — from probing keys known absent from the
+    whole filter against EACH layer independently.
+
+    The north-star acceptance criterion is per-layer ("observed FP
+    within the configured bound at each scaling layer", tightening
+    schedule src/dablooms.c:≈19/≈371): the compound OR-probe report
+    (observed_fp_rate) can hide one overloaded layer behind several
+    underloaded ones; this report cannot.
+
+    One scan: the filter blob is broadcast once, every batch is hashed
+    ONCE (layers share the murmur base hashes; only the
+    Kirsch-Mitzenmacher expansion differs per geometry), each layer
+    contributes one boolean per key, and the per-layer hit counts fall
+    out of a map-side partial aggregation over the hit-vector column —
+    no shuffle of probe rows, L+1 aggregate cells per partition. The
+    layer metadata (first_id, eps, capacity, live count) is driver-side
+    knowledge stamped in as literals, so the report stays a lazy
+    DataFrame."""
+    from dablooms_spark.operators.bloom_probe import _get_filter
+
+    spark = negatives.sparkSession
+    bc = spark.sparkContext.broadcast(scaling.to_bytes())
+    n_layers = len(scaling.layers)
+
+    def _layer_hits_arrow(arr: pa.Array) -> pa.Array:
+        import numpy as np
+        import pyarrow.compute as pc
+
+        from dablooms_spark.functions.arrow_utils import arrow_byte_view
+        from dablooms_spark.functions.murmur import dablooms_hash_words_buffer
+
+        filt = _get_filter(bc.value, seed)
+        buf, offs, lens = arrow_byte_view(arr)
+        h1, h2 = dablooms_hash_words_buffer(buf, offs, lens, seed)
+        mat = np.empty((len(h1), len(filt.layers)), dtype=bool)
+        for j, layer in enumerate(filt.layers):
+            mat[:, j] = layer.check_hashed(h1, h2)
+        if arr.null_count:
+            mat &= ~np.asarray(pc.is_null(arr))[:, None]
+        offsets = pa.array(
+            np.arange(len(h1) + 1, dtype=np.int32) * len(filt.layers)
+        )
+        return pa.ListArray.from_arrays(offsets, pa.array(mat.reshape(-1)))
+
+    try:
+        from pyspark.sql.functions import arrow_udf as _audf
+    except ImportError:  # pragma: no cover - older Spark fallback
+        _audf = None
+
+    if _audf is not None:
+
+        @_audf("array<boolean>")
+        def layer_hits(it: Iterator[pa.Array]) -> Iterator[pa.Array]:
+            for arr in it:
+                yield _layer_hits_arrow(arr)
+
+    else:
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf as _pudf
+
+        @_pudf("array<boolean>")
+        def layer_hits(it):
+            for series in it:
+                arr = pa.array(series, type=pa.large_string())
+                yield pd.Series(_layer_hits_arrow(arr).to_pylist())
+
+    probed = negatives.select(
+        layer_hits(F.col(key_col).cast("string")).alias("__hits")
+    )
+    agg = probed.agg(
+        F.count("*").alias("probes"),
+        *[
+            F.sum(F.element_at("__hits", j + 1).cast("long")).alias(f"__fp{j}")
+            for j in range(n_layers)
+        ],
+    )
+    # L metadata literals per row; stack() pivots the L fp columns into
+    # L rows without an action (the agg itself is the only job).
+    cells = ", ".join(
+        f"{j}, bigint({layer.first_id}), double({layer.geometry.error_rate!r}), "
+        f"bigint({layer.geometry.capacity}), bigint({layer.count}), __fp{j}"
+        for j, layer in enumerate(scaling.layers)
+    )
+    return agg.select(
+        F.expr(
+            f"stack({n_layers}, {cells}) as "
+            "(layer, first_id, layer_eps, capacity, n, false_positives)"
+        ),
+        "probes",
+    ).select(
+        "layer",
+        "first_id",
+        "layer_eps",
+        "capacity",
+        "n",
+        "probes",
+        "false_positives",
+        F.round(F.col("false_positives") / F.col("probes"), 6).alias("fp_rate"),
+        (
+            F.col("false_positives") / F.col("probes") <= F.col("layer_eps")
+        ).alias("within_bound"),
     )
 
 

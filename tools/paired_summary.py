@@ -1,0 +1,45 @@
+"""Summarize the paired scaling-evidence ledger
+(/tmp/scaling_paired_evidence.jsonl by default, or argv[1]).
+
+Prints: all pairs; valid-window subset (control eff >= 0.8,
+pre-registered); medians; job/control ratios. Used to curate
+BENCH/BASELINE.md at session end.
+"""
+
+import json
+import statistics
+import sys
+
+path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scaling_paired_evidence.jsonl"
+rows = [json.loads(l) for l in open(path) if l.strip()]
+
+all_q, valid_q, ratios = [], [], []
+for r in rows:
+    q = r["quotient"]
+    all_q.append(q)
+    ctl = r.get("control", {}).get("eff")
+    flag = ""
+    if ctl is not None:
+        ratios.append(q / ctl if ctl > 0 else float("inf"))
+        if ctl >= 0.8:
+            valid_q.append(q)
+            flag = "  <-- VALID WINDOW"
+    print(
+        f"{r['ts']}  q={q:.4f}  control={ctl if ctl is not None else '—'}"
+        f"  @2={r.get('sec@2')}  @8={r.get('sec@8')}{flag}"
+    )
+
+print(f"\npairs: {len(all_q)}  median(all): {statistics.median(all_q):.4f}")
+if ratios:
+    finite = [x for x in ratios if x != float("inf")]
+    print(
+        f"job/control ratio: median {statistics.median(finite):.3f}, "
+        f">=1 in {sum(1 for x in ratios if x >= 1)}/{len(ratios)} pairs"
+    )
+if valid_q:
+    print(
+        f"VALID windows: {len(valid_q)}  median {statistics.median(valid_q):.4f}"
+        f"  min {min(valid_q):.4f}  max {max(valid_q):.4f}"
+    )
+else:
+    print("VALID windows: none yet (control never reached 0.8)")

@@ -80,8 +80,13 @@ def main():
     lo, hi = (
         int(x) for x in os.environ.get("SCALING_LEVELS", "2,8").split(",")
     )
-    job = os.environ.get("SCALING_JOBS", "scaling").split(",")[0]
-    os.environ["SCALING_TRIALS"] = "1"  # one trial per level per pair
+    jobs = os.environ.get("SCALING_JOBS", "scaling").split(",")
+    job = jobs[0]  # headline job; every job in SCALING_JOBS gets a quotient
+    # trials per level WITHIN a pair (worker reports the min): 1 is the
+    # cheapest pair, but single trials carry large intra-window JVM/GC
+    # noise (run S's @8 trials spanned 61-208 s in one run); 2-3 trades
+    # pair duration for a much tighter quotient
+    os.environ["SCALING_TRIALS"] = os.environ.get("SCALING_PAIR_TRIALS", "1")
 
     control = os.environ.get("SCALING_CONTROL") == "1"
     wpath = None
@@ -104,19 +109,28 @@ def main():
         if control:
             ctl = scan_control([lo, hi], data_dir, wpath)
             rec["control"] = ctl
-        t = {}
+        t: dict[str, dict[int, float]] = {j: {} for j in jobs}
         for cores in order:
             r = run_level(cores, n_rows, partitions, zpath, worker)
-            t[cores] = r[f"{job}_build_sec"]
-        q = round((t[lo] / t[hi]) / (hi / lo), 4)
+            for j in jobs:
+                sec = r.get(f"{j}_build_sec") or r.get(f"{j}_kernel_sec")
+                if sec is not None:
+                    t[j][cores] = sec
+        q = round((t[job][lo] / t[job][hi]) / (hi / lo), 4)
         quotients.append(q)
         rec.update({
-            f"sec@{lo}": t[lo],
-            f"sec@{hi}": t[hi],
+            f"sec@{lo}": t[job][lo],
+            f"sec@{hi}": t[job][hi],
             "quotient": q,
             "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
             "load": os.getloadavg()[0],
         })
+        for j in jobs[1:]:
+            if lo in t[j] and hi in t[j]:
+                rec[f"quotient_{j}"] = round(
+                    (t[j][lo] / t[j][hi]) / (hi / lo), 4
+                )
+                rec[f"{j}_sec@{lo}"], rec[f"{j}_sec@{hi}"] = t[j][lo], t[j][hi]
         if control:
             rec["window_valid"] = bool(ctl.get("eff", 0) >= 0.8)
             if rec["window_valid"]:

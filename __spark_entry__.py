@@ -1598,6 +1598,98 @@ def _q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _q_bloom_cardinality_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cardinality read back from the filter bytes alone: build a
+    sharded counting bloom over distinct users, then recover the
+    live-add count from the counter-sum identity
+    sum(counters) == nfuncs · adds (exact while no counter clips) —
+    the distributed form of the header count dablooms'
+    counting_bloom_add maintains (src/dablooms.c ≈L202), except it
+    needs no side channel: the blobs that already flow ARE the count.
+    Capacity comes from the parquet footer row count (≥ distinct
+    users), so no counting scan precedes the build."""
+    from dablooms_spark.operators.cardinality import counter_cardinality
+    from dablooms_spark.operators.sharded import build_sharded_counting_bloom
+
+    events = load_table(spark, sf_dir, "events")
+    n = _events_row_count(spark, sf_dir, events)
+    keys = (
+        events.filter(F.col("user_id").isNotNull())
+        .select(F.col("user_id").cast("string").alias("ukey"))
+        .distinct()
+    )
+    blobs = build_sharded_counting_bloom(
+        keys, "ukey", capacity=max(int(n), 64), error_rate=0.01, num_shards=8
+    )
+    return counter_cardinality(blobs).select("n_adds")
+
+
+def _q_bloom_live_count_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live-set count after counter-decrement removals
+    (counting_bloom_remove, src/dablooms.c ≈L220): add every distinct
+    user, remove the user_id % 3 == 0 subset via the sharded
+    blob-algebra remove (deletion filters subtract counter-wise, no
+    blob visits the driver), then read adds − removes back from the
+    counter-sum. Exact because removals are a subset of insertions and
+    nothing saturates at this load."""
+    from dablooms_spark.operators.cardinality import counter_cardinality
+    from dablooms_spark.operators.sharded import (
+        build_sharded_counting_bloom,
+        sharded_bloom_remove,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    n = _events_row_count(spark, sf_dir, events)
+    cap = max(int(n), 64)
+    users = (
+        events.filter(F.col("user_id").isNotNull())
+        .select("user_id")
+        .distinct()
+    )
+    keys = users.select(F.col("user_id").cast("string").alias("ukey"))
+    blobs = build_sharded_counting_bloom(
+        keys, "ukey", capacity=cap, error_rate=0.01, num_shards=8
+    )
+    dels = users.filter(F.col("user_id") % 3 == 0).select(
+        F.col("user_id").cast("string").alias("ukey")
+    )
+    after = sharded_bloom_remove(
+        blobs, dels, "ukey", capacity=cap, error_rate=0.01, num_shards=8
+    )
+    return counter_cardinality(after).select(
+        F.col("n_adds").alias("n_live")
+    )
+
+
+def _q_session_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the click stream (the reference's
+    home domain — bitly event streams): one hash shuffle on user_id,
+    lag + running-sum window passes, per-session aggregate on the same
+    Exchange (plan-asserted single shuffle in tests). 30-minute gap,
+    strict-greater boundary, (ts, event_id) total order; start/end as
+    epoch millis so both engines compare integers."""
+    from dablooms_spark.operators.sessions import session_stats
+
+    events = load_table(spark, sf_dir, "events")
+    return session_stats(
+        events, "user_id", "ts", gap_ms=30 * 60 * 1000,
+        tiebreak_col="event_id",
+    )
+
+
+def _q_bottomk_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform corpus sample: the 64 docs with the
+    smallest md5(doc_id) — a mergeable bottom-k (KMV) summary executed
+    as TakeOrderedAndProject (per-partition heaps, k·P driver merge,
+    no shuffle, plan-asserted in tests). Stable under re-runs,
+    repartitioning, and incremental arrivals — the sampling analog of
+    the deterministic split."""
+    from dablooms_spark.operators.sampling import bottomk_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bottomk_sample(docs, "doc_id", 64)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bloom_semi_join_orders": _q_bloom_semi_join_orders,
@@ -1610,6 +1702,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_chains": _q_dedup_clusters_chains,
         "bloom_remove_membership": _q_bloom_remove_membership,
         "windowed_distinct_stream": _q_windowed_distinct_stream,
+        "bloom_cardinality_users": _q_bloom_cardinality_users,
+        "bloom_live_count_users": _q_bloom_live_count_users,
+        "session_stats_events": _q_session_stats_events,
+        "bottomk_sample_docs": _q_bottomk_sample_docs,
         "incremental_new_users": _q_incremental_new_users,
         "incremental_sharded_new_users": _q_incremental_sharded_new_users,
         "streaming_sharded_new_users": _q_streaming_sharded_new_users,
@@ -2475,6 +2571,45 @@ def oracle_sql() -> dict[str, str]:
         "salted_user_counts": """
             SELECT CAST(user_id AS VARCHAR) AS user_id, count(*) AS cnt
             FROM events GROUP BY user_id
+        """,
+        "bloom_cardinality_users": """
+            SELECT count(DISTINCT user_id) AS n_adds
+            FROM events WHERE user_id IS NOT NULL
+        """,
+        "bloom_live_count_users": """
+            SELECT count(DISTINCT user_id) AS n_live
+            FROM events
+            WHERE user_id IS NOT NULL AND user_id % 3 <> 0
+        """,
+        "session_stats_events": """
+            WITH seq AS (
+                SELECT user_id, ts, event_id, epoch_ms(ts) AS ms,
+                       lag(epoch_ms(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS prev_ms
+                FROM events
+            ), marked AS (
+                SELECT user_id, ts, event_id, ms,
+                       CASE WHEN prev_ms IS NULL
+                                 OR ms - prev_ms > 1800000
+                            THEN 1 ELSE 0 END AS boundary
+                FROM seq
+            ), assigned AS (
+                SELECT user_id, ms,
+                       SUM(boundary) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) - 1 AS session_seq
+                FROM marked
+            )
+            SELECT user_id, session_seq, count(*) AS n_events,
+                   min(ms) AS start_ms, max(ms) AS end_ms
+            FROM assigned GROUP BY user_id, session_seq
+        """,
+        "bottomk_sample_docs": """
+            SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
+            FROM documents
+            ORDER BY h, doc_id
+            LIMIT 64
         """,
         "theta_set_counts": """
             WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),

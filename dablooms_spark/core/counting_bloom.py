@@ -189,6 +189,57 @@ class CountingBloom:
         idx = self._indexes_hashed(h1, h2)
         return (self.counters[idx] != 0).all(axis=1)
 
+    # ---- cardinality from the counters alone ----------------------------
+
+    def counter_sum(self) -> int:
+        """Sum of all 4-bit counters (int64 accumulate)."""
+        return int(self.counters.sum(dtype=np.int64))
+
+    def saturated(self) -> bool:
+        """True iff any counter currently sits at the 4-bit ceiling —
+        a conservative witness that an add MAY have clipped (a counter
+        legitimately at 15 also trips it). While this is False, no
+        upward clip has ever happened."""
+        return bool((self.counters == 15).any())
+
+    def added_count(self) -> tuple[int, bool]:
+        """(live adds, exact?) recovered from the counter state alone.
+
+        Every add scatters +1 into exactly nfuncs counters and every
+        remove scatters −1 into the same ones, so
+        sum(counters) == nfuncs · (adds − removes) EXACTLY while no
+        counter has ever clipped (up at 15, or down at 0 by removing a
+        key that was never added — the same remove-only-present-keys
+        contract dablooms' counting_bloom_remove assumes,
+        src/dablooms.c:≈L220). Unlike the header count (dablooms'
+        `counting_bloom_add` ≈L202 bumps header->count), the
+        counter-sum stays correct under counter-sum merges of
+        overlapping partials, because duplicate adds add.
+
+        exact=False when a saturation witness exists or the sum is not
+        divisible by nfuncs; the returned value is then a lower bound.
+        """
+        s = self.counter_sum()
+        k = self.geometry.nfuncs
+        exact = (not self.saturated()) and s % k == 0
+        return s // k, exact
+
+    def density_estimate(self) -> float:
+        """Bit-density cardinality (Swamidass & Baldi, J. Chem. Inf.
+        Model. 2007): with the banded layout each hash function owns
+        its own cpf-slot table, so per band
+        n̂_i = −cpf · ln(1 − X_i/cpf) with X_i = nonzero slots in band
+        i; average the bands. Works even when counters saturate (it
+        only reads zero/nonzero), at estimator (not exact) precision.
+        """
+        g = self.geometry
+        bands = self.counters.reshape(g.nfuncs, g.counts_per_func)
+        fill = (bands != 0).sum(axis=1, dtype=np.int64) / float(g.counts_per_func)
+        # a completely full band carries no information — clamp instead
+        # of returning inf so merged estimates stay finite
+        fill = np.minimum(fill, 1.0 - 1e-12)
+        return float(np.mean(-g.counts_per_func * np.log1p(-fill)))
+
     # ---- merge ---------------------------------------------------------
 
     def compatible(self, other: "CountingBloom") -> bool:

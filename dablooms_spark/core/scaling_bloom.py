@@ -175,6 +175,28 @@ class ScalingBloom:
     def count(self) -> int:
         return sum(l.count for l in self.layers)
 
+    # ---- cardinality from the counters alone -----------------------------
+
+    def counter_sum(self) -> int:
+        return sum(l.counter_sum() for l in self.layers)
+
+    def added_count(self) -> tuple[int, bool]:
+        """(live adds, exact?) across all layers — each key lives in
+        exactly one layer (id routing), so the per-layer counter-sum
+        counts (see CountingBloom.added_count) simply add. exact iff
+        every layer is exact."""
+        total, exact = 0, True
+        for l in self.layers:
+            n, ok = l.added_count()
+            total += n
+            exact = exact and ok
+        return total, exact
+
+    def density_estimate(self) -> float:
+        """Swamidass–Baldi bit-density estimate summed over layers
+        (layers partition the key space by id, so estimates add)."""
+        return sum(l.density_estimate() for l in self.layers)
+
     # ---- merge / subtract --------------------------------------------------
 
     def subtract(self, other: "ScalingBloom") -> "ScalingBloom":

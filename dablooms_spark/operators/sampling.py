@@ -285,3 +285,29 @@ def bloom_decontaminate(
         on=F.col(id_col) == F.col("__bad_id"),
         how="left_anti",
     )
+
+
+def bottomk_sample(
+    df: DataFrame,
+    key_col: str,
+    k: int,
+    salt: str = "",
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """Deterministic uniform sample: the k keys with the smallest
+    md5(salt || key) — a bottom-k (KMV-style) summary, so it is
+    MERGEABLE: bottom-k of a union == bottom-k of the concatenated
+    per-part bottom-ks, which is exactly how Spark executes the plan
+    (TakeOrderedAndProject: per-partition top-k heaps, driver merge of
+    k·P candidate rows — no shuffle, no full sort). Re-runs, input
+    repartitioning, and incremental arrivals all reproduce or extend
+    the same sample; vary `salt` for an independent draw.
+
+    Returns (key_col, h, *extra_cols) ordered by (h, key). Distinct
+    keys collide on h with ~2^-64 probability; the key itself breaks
+    residual ties, so the selected set is total-order deterministic.
+    """
+    kc = F.col(key_col).cast("string")
+    h = F.md5(F.concat(F.lit(salt), kc)).alias("h")
+    cols = [F.col(key_col), h] + [F.col(c) for c in (extra_cols or [])]
+    return df.select(*cols).orderBy("h", key_col).limit(int(k))

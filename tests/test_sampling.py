@@ -174,3 +174,47 @@ def test_stratified_sample_exact_quota_and_stability(spark):
     # NULL keys are excluded, not sampled as a block
     with_null = df.union(spark.createDataFrame([(None, "a")], df.schema))
     assert stratified_sample(with_null, "grp", 50, "id").count() == 50
+
+
+# ---- bottom-k deterministic sample ------------------------------------
+
+
+def test_bottomk_deterministic_and_sized(spark):
+    from dablooms_spark.operators.sampling import bottomk_sample
+
+    df = spark.range(0, 2_000).select(F.col("id").alias("doc_id"))
+    a = [r["doc_id"] for r in bottomk_sample(df, "doc_id", 50).collect()]
+    b = [r["doc_id"] for r in
+         bottomk_sample(df.repartition(17), "doc_id", 50).collect()]
+    assert len(a) == 50 and a == b
+    # an independent salt draws a different set
+    c = [r["doc_id"] for r in
+         bottomk_sample(df, "doc_id", 50, salt="v2").collect()]
+    assert set(a) != set(c)
+
+
+def test_bottomk_is_mergeable(spark):
+    """bottom-k of a union == bottom-k over the concatenated per-part
+    bottom-ks — the KMV mergeability that lets the plan run as
+    per-partition heaps with no shuffle."""
+    from dablooms_spark.operators.sampling import bottomk_sample
+
+    left = spark.range(0, 1_000).select(F.col("id").alias("doc_id"))
+    right = spark.range(1_000, 2_000).select(F.col("id").alias("doc_id"))
+    direct = bottomk_sample(left.unionAll(right), "doc_id", 32)
+    merged = bottomk_sample(
+        bottomk_sample(left, "doc_id", 32)
+        .unionAll(bottomk_sample(right, "doc_id", 32)),
+        "doc_id", 32,
+    )
+    assert [tuple(r) for r in direct.collect()] == [
+        tuple(r) for r in merged.collect()
+    ]
+
+
+def test_bottomk_plan_take_ordered(spark):
+    from dablooms_spark.operators.sampling import bottomk_sample
+
+    df = spark.range(0, 1_000).select(F.col("id").alias("doc_id"))
+    plan = bottomk_sample(df, "doc_id", 10)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan

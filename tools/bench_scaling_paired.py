@@ -32,8 +32,11 @@ Usage: python tools/bench_scaling_paired.py [n_rows] [partitions] [pairs]
 Env:   SCALING_LEVELS="2,8"  SCALING_JOBS=scaling
        SCALING_DATA_DIR=/tmp/dablooms_scaling_cache  SCALING_CONTROL=1
 
-Appends one JSON line per pair to /tmp/scaling_paired_evidence.jsonl
-and prints a summary; curate into BENCH/BASELINE.md by hand.
+Appends one JSON line per pair to BENCH/paired_evidence.jsonl (the
+repo ledger — /tmp is wiped on sandbox restarts and runs 1-3's raw
+lines survived only as curated BASELINE.md tables; override with
+SCALING_EVIDENCE) and prints a summary; curate into BENCH/BASELINE.md
+by hand.
 """
 
 import json
@@ -49,7 +52,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from bench_scaling import make_snapshot, run_level  # noqa: E402
 from bench_scan_probe import WORKER as SCAN_WORKER  # noqa: E402
 
-EVIDENCE = "/tmp/scaling_paired_evidence.jsonl"
+EVIDENCE = os.environ.get(
+    "SCALING_EVIDENCE",
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH", "paired_evidence.jsonl",
+    ),
+)
 
 
 def scan_control(levels, data_dir: str, wpath: str) -> dict:

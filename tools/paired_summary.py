@@ -1,5 +1,5 @@
 """Summarize the paired scaling-evidence ledger
-(/tmp/scaling_paired_evidence.jsonl by default, or argv[1]).
+(BENCH/paired_evidence.jsonl by default, or argv[1]).
 
 Prints: all pairs; valid-window subset (control eff >= 0.8,
 pre-registered); medians; job/control ratios. Used to curate
@@ -7,10 +7,15 @@ BENCH/BASELINE.md at session end.
 """
 
 import json
+import os
 import statistics
 import sys
 
-path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scaling_paired_evidence.jsonl"
+_DEFAULT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "BENCH", "paired_evidence.jsonl",
+)
+path = sys.argv[1] if len(sys.argv) > 1 else _DEFAULT
 rows = [json.loads(l) for l in open(path) if l.strip()]
 
 all_q, valid_q, ratios = [], [], []

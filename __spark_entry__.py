@@ -1677,6 +1677,50 @@ def _q_session_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_streaming_sessions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization through the driver gate: an
+    availableNow file-stream run of Spark's BUILT-IN session_window
+    (native dynamic-gap session state machine — engine-managed merge
+    across micro-batches, unlike the hand-rolled state in the other
+    streaming rows), complete-mode memory sink. The primitive merges
+    touching intervals, so its boundary rule is the SAME strict
+    diff > gap as the batch sessionizer (pytest-verified); outputs are
+    epoch MICROseconds because session merging happens at full
+    timestamp precision."""
+    import tempfile
+
+    from dablooms_spark.streaming.sessions import session_window_stats
+
+    events = load_table(spark, sf_dir, "events")
+    src_dir = tempfile.mkdtemp(prefix="dablooms_sessstream_src_")
+    target = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(target):
+        src_dir = target
+    else:
+        os.symlink(target, os.path.join(src_dir, "events.parquet"))
+    stream = spark.readStream.schema(events.schema).parquet(src_dir)
+    out = session_window_stats(stream, "user_id", "ts", gap="30 minutes")
+    sink = "streaming_sessions_sink"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="dablooms_sessstream_ck_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    res = spark.sql(
+        f"SELECT user_id, start_us, end_us, n_events FROM {sink}"
+    ).cache()
+    res.count()  # materialize before the temp view drops
+    spark.catalog.dropTempView(sink)
+    return res
+
+
 def _q_bottomk_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic uniform corpus sample: the 64 docs with the
     smallest md5(doc_id) — a mergeable bottom-k (KMV) summary executed
@@ -1705,6 +1749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_cardinality_users": _q_bloom_cardinality_users,
         "bloom_live_count_users": _q_bloom_live_count_users,
         "session_stats_events": _q_session_stats_events,
+        "streaming_sessions_events": _q_streaming_sessions_events,
         "bottomk_sample_docs": _q_bottomk_sample_docs,
         "incremental_new_users": _q_incremental_new_users,
         "incremental_sharded_new_users": _q_incremental_sharded_new_users,
@@ -2603,6 +2648,31 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, session_seq, count(*) AS n_events,
                    min(ms) AS start_ms, max(ms) AS end_ms
+            FROM assigned GROUP BY user_id, session_seq
+        """,
+        "streaming_sessions_events": """
+            WITH seq AS (
+                SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+                       lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS prev_us
+                FROM events
+            ), marked AS (
+                SELECT user_id, ts, event_id, us,
+                       CASE WHEN prev_us IS NULL
+                                 OR us - prev_us > 1800000000
+                            THEN 1 ELSE 0 END AS boundary
+                FROM seq
+            ), assigned AS (
+                SELECT user_id, us,
+                       SUM(boundary) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS session_seq
+                FROM marked
+            )
+            SELECT user_id, min(us) AS start_us,
+                   max(us) + 1800000000 AS end_us,
+                   count(*) AS n_events
             FROM assigned GROUP BY user_id, session_seq
         """,
         "bottomk_sample_docs": """

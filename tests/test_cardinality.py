@@ -106,3 +106,45 @@ def test_counter_cardinality_empty_blob_rows(spark):
     row = counter_cardinality(empty).collect()[0]
     assert (row["n_adds"], row["exact"]) == (0, True)
     assert density_cardinality(empty).collect()[0]["n_est"] == 0.0
+
+
+# ---- property: the counter-sum identity under arbitrary histories ----
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    ops=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=199),
+                  st.integers(min_value=1, max_value=4)),
+        min_size=1, max_size=60,
+    ),
+    seed=st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_counter_sum_identity_random_histories(ops, seed):
+    """For any interleaving of adds and removes-of-present-keys,
+    sum(counters) == nfuncs * (adds - removes) exactly, as long as no
+    per-key multiplicity can reach the 4-bit ceiling."""
+    cb = CountingBloom(5_000, 0.01, seed=seed)
+    live: dict[int, int] = {}
+    n_adds = n_removes = 0
+    for key, mult in ops:
+        if live.get(key, 0) + mult > 10:
+            continue  # keep every key's own counters far from 15
+        kb = [f"k{key}".encode()] * mult
+        if live.get(key, 0) > 0 and (key + mult) % 3 == 0:
+            take = min(mult, live[key])
+            cb.remove(kb[:take])
+            live[key] -= take
+            n_removes += take
+        else:
+            cb.add(kb)
+            live[key] = live.get(key, 0) + mult
+            n_adds += mult
+    n, exact = cb.added_count()
+    assert n == n_adds - n_removes
+    # exactness may only be lost to hash-collision pileups ON TOP of
+    # legitimate multiplicities; with <=10 per key and 200 keys in a
+    # 5k-capacity filter a 15 is effectively impossible
+    assert exact

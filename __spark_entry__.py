@@ -1734,6 +1734,21 @@ def _q_bottomk_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bottomk_sample(docs, "doc_id", 64)
 
 
+def _q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sample (data mixing): the 48 docs with
+    the largest Efraimidis-Spirakis A-Res priority u^(1/n_chars),
+    u an md5-derived uniform — inclusion probability proportional to
+    document length, as a pure function of (salt, key, weight).
+    Mergeable top-k summary, TakeOrderedAndProject (no shuffle);
+    the DuckDB oracle recomputes the identical priority in SQL."""
+    from dablooms_spark.operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample(
+        docs.select("doc_id", "n_chars"), "doc_id", "n_chars", 48, salt="mix"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bloom_semi_join_orders": _q_bloom_semi_join_orders,
@@ -1751,6 +1766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats_events": _q_session_stats_events,
         "streaming_sessions_events": _q_streaming_sessions_events,
         "bottomk_sample_docs": _q_bottomk_sample_docs,
+        "weighted_sample_docs": _q_weighted_sample_docs,
         "incremental_new_users": _q_incremental_new_users,
         "incremental_sharded_new_users": _q_incremental_sharded_new_users,
         "streaming_sharded_new_users": _q_streaming_sharded_new_users,
@@ -2680,6 +2696,20 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             ORDER BY h, doc_id
             LIMIT 64
+        """,
+        "weighted_sample_docs": """
+            WITH pr AS (
+                SELECT doc_id, n_chars,
+                       pow((CAST('0x' || substring(
+                                md5('mix' || CAST(doc_id AS VARCHAR)), 1, 13)
+                             AS BIGINT) + 0.5) / 4503599627370496.0,
+                           1.0 / CAST(n_chars AS DOUBLE)) AS p
+                FROM documents
+                WHERE n_chars IS NOT NULL AND CAST(n_chars AS DOUBLE) > 0
+            )
+            SELECT doc_id, n_chars FROM pr
+            ORDER BY p DESC, doc_id
+            LIMIT 48
         """,
         "theta_set_counts": """
             WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),

@@ -311,3 +311,63 @@ def bottomk_sample(
     h = F.md5(F.concat(F.lit(salt), kc)).alias("h")
     cols = [F.col(key_col), h] + [F.col(c) for c in (extra_cols or [])]
     return df.select(*cols).orderBy("h", key_col).limit(int(k))
+
+
+_U52_DENOM = float(1 << 52)  # 13 hex digits of md5 → uniform in (0,1)
+
+
+def ares_priority(key_col: str, weight_col: str, salt: str = "") -> Column:
+    """The Efraimidis–Spirakis A-Res priority r = u^(1/w) as a pure
+    Catalyst expression, with u a DETERMINISTIC md5-derived uniform:
+    u = (v + 0.5) / 2^52 where v is the first 13 hex digits of
+    md5(salt || key) read as an integer (v < 2^52, so the double is
+    exact and any engine's md5 re-derives the same u — the oracle
+    recomputes it in SQL). Taking the k LARGEST r samples k keys
+    without replacement with inclusion probability proportional to
+    weight (Efraimidis & Spirakis, IPL 2006, public algorithm)."""
+    kc = F.col(key_col).cast("string")
+    v = F.conv(F.substring(F.md5(F.concat(F.lit(salt), kc)), 1, 13), 16, 10)
+    u = (v.cast("double") + F.lit(0.5)) / F.lit(_U52_DENOM)
+    w = F.col(weight_col).cast("double")
+    return F.pow(u, F.lit(1.0) / w)
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "",
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement: the k keys
+    with the LARGEST A-Res priority u^(1/w) (see `ares_priority`) —
+    the data-mixing primitive (sample documents proportional to
+    quality score, token count, or source temperature weight) as a
+    pure function of (salt, key, weight). Like `bottomk_sample` it is
+    a mergeable top-k summary and executes as TakeOrderedAndProject:
+    per-partition heaps, k·P candidate rows to the driver, NO shuffle
+    and no full sort — re-runs, repartitioning, and incremental
+    arrivals reproduce or extend the same sample, and raising one
+    key's weight can only improve that key's own rank (its priority
+    rises, every other priority is untouched). Vary `salt` for an
+    independent draw.
+
+    Rows with weight <= 0 or NULL are excluded (u^(1/w) for w<=0 is
+    not a valid draw). Returns (key_col, weight_col, *extra_cols)
+    ordered by (priority DESC, key); the float priority itself is not
+    emitted so results hash portably across engines.
+    """
+    pr = ares_priority(key_col, weight_col, salt).alias("__pr")
+    cols = [F.col(key_col), F.col(weight_col)] + [
+        F.col(c) for c in (extra_cols or [])
+    ]
+    kept = df.where(
+        F.col(weight_col).isNotNull() & (F.col(weight_col).cast("double") > 0)
+    )
+    return (
+        kept.select(*cols, pr)
+        .orderBy(F.col("__pr").desc(), key_col)
+        .limit(int(k))
+        .drop("__pr")
+    )

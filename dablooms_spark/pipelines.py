@@ -19,6 +19,10 @@ Order matters and is the standard one for LLM training corpora:
   5. per-group quota cap (if cap_group_col is given) — the "max N
      pages per domain" balancing rule, applied after dedup so the
      quota counts unique documents, skew-safe two-phase rank;
+  5½. weighted mixing (if mix_k is given) — subsample the survivors
+     to a document budget with inclusion probability proportional to
+     a weight column (token count, quality score), deterministic
+     A-Res bottom-k so re-runs draw the same corpus;
   6. deterministic split LAST, on the surviving rows, so train/test
      proportions refer to the corpus actually trained on.
 
@@ -44,7 +48,11 @@ from pyspark.sql import functions as F
 from dablooms_spark.operators.curation import cap_per_group, keep_best_in_clusters
 from dablooms_spark.operators.dedup import exact_dedup, minhash_lsh_dedup
 from dablooms_spark.operators.graph import dedup_clusters
-from dablooms_spark.operators.sampling import decontaminate, deterministic_split
+from dablooms_spark.operators.sampling import (
+    decontaminate,
+    deterministic_split,
+    weighted_sample,
+)
 from dablooms_spark.operators.textops import (
     with_quality_score,
     with_repetition_scores,
@@ -71,6 +79,9 @@ def prepare_training_corpus(
     keep_best_score_col: str | None = None,
     cap_group_col: str | None = None,
     cap_n: int = 1000,
+    mix_k: int | None = None,
+    mix_weight_col: str = "n_tokens",
+    mix_salt: str = "",
     split_weights: dict[str, float] | None = None,
     count_stages: bool = True,
 ) -> CorpusResult:
@@ -155,6 +166,16 @@ def prepare_training_corpus(
             id_col=id_col,
         )
         kept = checkpoint("capped", kept)
+
+    # 5.5 weighted mixing: subsample to a document budget with
+    # inclusion probability proportional to mix_weight_col (A-Res,
+    # deterministic in (salt, id, weight) — see operators/sampling.py)
+    if mix_k is not None:
+        chosen = weighted_sample(
+            kept, id_col, mix_weight_col, mix_k, salt=mix_salt
+        ).select(id_col)
+        kept = kept.join(chosen, id_col, "left_semi")
+        kept = checkpoint("mixed", kept)
 
     # 6. deterministic split on the survivors
     if split_weights:

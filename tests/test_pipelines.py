@@ -101,3 +101,24 @@ def test_prepare_training_corpus_keep_best_and_cap(spark):
     }
     assert all(n <= 5 for n in per_grp.values())
     assert res.stats["capped"] == res.df.count() <= 10
+
+
+def test_prepare_training_corpus_weighted_mixing(spark):
+    """mix_k subsamples the survivors to a document budget via the
+    deterministic A-Res draw: exact size, subset of the unmixed
+    result, reproducible, and all original+quality columns survive."""
+    docs = _corpus(spark)
+    full = prepare_training_corpus(docs, count_stages=False)
+    n_full = full.df.count()
+    assert n_full > 8
+    res = prepare_training_corpus(docs, mix_k=8)
+    ids = {r["doc_id"] for r in res.df.select("doc_id").collect()}
+    assert res.stats["mixed"] == len(ids) == 8
+    assert ids <= {r["doc_id"] for r in full.df.select("doc_id").collect()}
+    assert "n_tokens" in res.df.columns and "text" in res.df.columns
+    again = prepare_training_corpus(docs, mix_k=8, count_stages=False)
+    assert {r["doc_id"] for r in again.df.select("doc_id").collect()} == ids
+    other = prepare_training_corpus(docs, mix_k=8, mix_salt="v2",
+                                    count_stages=False)
+    other_ids = {r["doc_id"] for r in other.df.select("doc_id").collect()}
+    assert len(other_ids) == 8

@@ -218,3 +218,114 @@ def test_bottomk_plan_take_ordered(spark):
     df = spark.range(0, 1_000).select(F.col("id").alias("doc_id"))
     plan = bottomk_sample(df, "doc_id", 10)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
+
+
+# ---- weighted (A-Res) deterministic sample -----------------------------
+
+
+def _ares_priority_py(key, weight, salt=""):
+    import hashlib
+
+    v = int(hashlib.md5((salt + str(key)).encode()).hexdigest()[:13], 16)
+    u = (v + 0.5) / float(1 << 52)
+    return u ** (1.0 / float(weight))
+
+
+def test_weighted_sample_matches_reference_formula(spark):
+    """Spark's Catalyst priority (conv/md5/pow) selects exactly the
+    top-k the pure-Python A-Res formula selects — the same formula the
+    DuckDB oracle runs in SQL."""
+    from dablooms_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 1 + (i * 7) % 100) for i in range(1_000)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = [r["doc_id"] for r in weighted_sample(df, "doc_id", "w", 40).collect()]
+    want = [
+        k for k, _ in sorted(
+            rows, key=lambda kw: (-_ares_priority_py(kw[0], kw[1]), kw[0])
+        )[:40]
+    ]
+    assert got == want
+
+
+def test_weighted_sample_weight_monotone_and_stable(spark):
+    """Raising one key's weight can only improve that key's rank;
+    everything is a pure function of (salt, key, weight) so a
+    repartition reproduces the same sample."""
+    from dablooms_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 10) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    base = {r["doc_id"] for r in weighted_sample(df, "doc_id", "w", 25).collect()}
+    outsider = sorted(set(range(500)) - base)[0]
+    boosted = spark.createDataFrame(
+        [(i, 100_000 if i == outsider else w) for i, w in rows],
+        "doc_id long, w long",
+    )
+    bumped = {
+        r["doc_id"]
+        for r in weighted_sample(boosted, "doc_id", "w", 25).collect()
+    }
+    assert outsider in bumped
+    assert bumped - {outsider} <= base  # others' priorities untouched
+    again = [
+        r["doc_id"]
+        for r in weighted_sample(df.repartition(13), "doc_id", "w", 25).collect()
+    ]
+    assert set(again) == base
+
+
+def test_weighted_sample_inclusion_tracks_weight():
+    """Statistical sanity on the formula itself (numpy-speed, no
+    Spark): over many salts, heavy keys (w=9) appear ~9x as often as
+    light keys (w=1) while the sample is small vs the population."""
+    heavy = list(range(100))          # w = 9
+    light = list(range(100, 1_000))   # w = 1
+    hits_h = hits_l = 0
+    for s in range(40):
+        pri = [
+            (_ares_priority_py(k, 9 if k < 100 else 1, salt=str(s)), k)
+            for k in heavy + light
+        ]
+        top = {k for _, k in sorted(pri, reverse=True)[:50]}
+        hits_h += len(top & set(heavy))
+        hits_l += len(top & set(light))
+    rate_h = hits_h / (40 * 100)
+    rate_l = hits_l / (40 * 900)
+    assert 6.0 < rate_h / rate_l < 12.0, (rate_h, rate_l)
+
+
+def test_weighted_sample_mergeable_and_plan(spark):
+    """Top-k of a union == top-k of per-part top-ks (mergeable
+    summary), and the plan is TakeOrderedAndProject — no Exchange."""
+    from dablooms_spark.operators.sampling import weighted_sample
+
+    mk = lambda lo, hi: spark.createDataFrame(
+        [(i, 1 + i % 50) for i in range(lo, hi)], "doc_id long, w long"
+    )
+    left, right = mk(0, 800), mk(800, 1_600)
+    direct = weighted_sample(left.unionAll(right), "doc_id", "w", 32)
+    merged = weighted_sample(
+        weighted_sample(left, "doc_id", "w", 32)
+        .unionAll(weighted_sample(right, "doc_id", "w", 32)),
+        "doc_id", "w", 32,
+    )
+    assert [tuple(r) for r in direct.collect()] == [
+        tuple(r) for r in merged.collect()
+    ]
+    plan = (
+        weighted_sample(left, "doc_id", "w", 8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_weighted_sample_drops_nonpositive_weights(spark):
+    from dablooms_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, 0), (3, -4), (4, None), (5, 2)], "doc_id long, w long"
+    )
+    got = {r["doc_id"] for r in weighted_sample(df, "doc_id", "w", 10).collect()}
+    assert got == {1, 5}

@@ -141,7 +141,23 @@ def main():
                 )
                 rec[f"{j}_sec@{lo}"], rec[f"{j}_sec@{hi}"] = t[j][lo], t[j][hi]
         if control:
-            rec["window_valid"] = bool(ctl.get("eff", 0) >= 0.8)
+            # Run 4 showed a window can rot AFTER the opening control
+            # certifies it (pairs span ~8-15 min; the control brackets
+            # only the first minute). With SCALING_CONTROL_CLOSE=1 a
+            # CLOSING control re-probes the same levels after the job
+            # legs, and the PRE-REGISTERED rule (declared before any
+            # double-bracket collection) tightens to: valid iff BOTH
+            # brackets scale >= 0.8 — the host demonstrably delivered
+            # cores at the window's start AND end.
+            if os.environ.get("SCALING_CONTROL_CLOSE") == "1":
+                ctl_close = scan_control([lo, hi], data_dir, wpath)
+                rec["control_close"] = ctl_close
+                rec["window_valid"] = bool(
+                    ctl.get("eff", 0) >= 0.8
+                    and ctl_close.get("eff", 0) >= 0.8
+                )
+            else:
+                rec["window_valid"] = bool(ctl.get("eff", 0) >= 0.8)
             if rec["window_valid"]:
                 valid.append(q)
         with open(EVIDENCE, "a") as fh:

@@ -19,6 +19,7 @@ path = sys.argv[1] if len(sys.argv) > 1 else _DEFAULT
 rows = [json.loads(l) for l in open(path) if l.strip()]
 
 all_q, valid_q, ratios = [], [], []
+companions: dict[str, dict[str, list]] = {}
 for r in rows:
     q = r["quotient"]
     all_q.append(q)
@@ -29,12 +30,29 @@ for r in rows:
         if ctl >= 0.8:
             valid_q.append(q)
             flag = "  <-- VALID WINDOW"
+    extra = ""
+    for key in sorted(r):
+        if key.startswith("quotient_"):
+            name = key[len("quotient_"):]
+            extra += f"  {name}={r[key]:.4f}"
+            bucket = companions.setdefault(name, {"all": [], "valid": []})
+            bucket["all"].append(r[key])
+            if ctl is not None and ctl >= 0.8:
+                bucket["valid"].append(r[key])
     print(
         f"{r['ts']}  q={q:.4f}  control={ctl if ctl is not None else '—'}"
-        f"  @2={r.get('sec@2')}  @8={r.get('sec@8')}{flag}"
+        f"  @2={r.get('sec@2')}  @8={r.get('sec@8')}{extra}{flag}"
     )
 
 print(f"\npairs: {len(all_q)}  median(all): {statistics.median(all_q):.4f}")
+for name, b in sorted(companions.items()):
+    line = f"{name}: median(all) {statistics.median(b['all']):.4f}"
+    if b["valid"]:
+        line += (
+            f"  median(valid) {statistics.median(b['valid']):.4f}"
+            f"  ({len(b['valid'])} valid)"
+        )
+    print(line)
 if ratios:
     finite = [x for x in ratios if x != float("inf")]
     print(

@@ -183,6 +183,32 @@ def main():
     # tail that caps Amdahl scaling)?
     item = {}
     if ("scaling" in jobs and os.environ.get("SCALING_ITEMIZE")
+            and not (os.environ.get("SCALING_RANGE")
+                     or os.environ.get("SCALING_ONE_BLOB"))):
+        # fixed-boundary path: split the DEFAULT scaling job into its
+        # two stages — layer-piece build+merge (persist forces the map
+        # stage and the blob-only exchange) vs the parquet artifact
+        # write (file fan-out + driver-side commit), to locate the
+        # 2→8 gap the paired runs show vs the counting build
+        item_dir = f"{ckpt_root}/scaling-itemized"
+        fx_layers = (
+            None if os.environ.get("SCALING_POLY")
+            else (n_rows - 1) // (200_000 - 1) + 1
+        )
+        t0 = time.perf_counter()
+        fixed = scaling_bloom_fixed_partials(
+            wp, "text", "row_id", capacity=200_000, error_rate=0.01,
+            expected_layers=fx_layers,
+        ).persist()
+        fixed.count()
+        item["scaling_fixed_build_sec"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        fixed.write.mode("overwrite").parquet(item_dir)
+        item["scaling_artifact_write_sec"] = round(
+            time.perf_counter() - t0, 3
+        )
+        fixed.unpersist()
+    if ("scaling" in jobs and os.environ.get("SCALING_ITEMIZE")
             and (os.environ.get("SCALING_RANGE") or os.environ.get("SCALING_ONE_BLOB"))):
         item_dir = f"{ckpt_root}/scaling-itemized"
         t0 = time.perf_counter()

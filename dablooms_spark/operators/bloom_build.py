@@ -533,6 +533,7 @@ def scaling_bloom_fixed_partials(
     error_rate: float,
     seed: int = DABLOOMS_SEED,
     expected_layers: int | None = None,
+    dense_piece_frac: float | None = 0.5,
 ) -> DataFrame:
     """Scaling-bloom build with FIXED id-value layer boundaries — the
     no-shuffle topology for dense insertion-sequence ids (the
@@ -566,6 +567,29 @@ def scaling_bloom_fixed_partials(
     The result is partition-order invariant (counter-sum merge) but
     not bit-identical to the sequential grow-at-count machine — the
     same documented deviation class as the per-shard ε budget.
+
+    dense_piece_frac: a drained layer slice whose accumulated index
+    count reaches ``dense_piece_frac * layer_counter_size`` is emitted
+    as a DENSE piece — the layer's per-piece-clipped uint8 counter
+    array itself (marker: empty ``idx``) — instead of sorted gap-coded
+    sparse indices. At that density the sparse form is no smaller
+    (nnz ≈ 0.4·size ⇒ ~2 B/nz ≈ the dense payload) and strictly more
+    expensive: the sparse path sorts every index on emit
+    (np.unique) and scatter-adds on merge (np.add.at), both
+    DRAM-random patterns that collapse under multi-core memory-bus
+    contention, while the dense path bincounts per Kirsch-Mitzenmacher
+    band (the band's counter space is L2-resident) and merges by
+    straight vector add. At real scale an input partition spans whole
+    layers, so dense is the common case; boundary slivers stay
+    sparse. The emitted artifact is BIT-IDENTICAL either way (same
+    drain points, same per-piece saturating clip, same counter-sum —
+    property-tested; in fact min(15, Σ min(15, tᵢ)) == min(15, Σ tᵢ),
+    so the artifact is invariant to piece boundaries altogether).
+    Mid-stream flushes hold back the still-filling layer while it is
+    below the dense threshold (bounded extra memory:
+    dense_piece_frac·size elements) so a full layer emits as ONE
+    dense piece instead of sparse slivers. ``None`` disables dense
+    pieces and hold-back entirely (the pre-optimization code path).
     """
     from dablooms_spark.core.codec import delta_decode, delta_encode
 
@@ -617,21 +641,66 @@ def scaling_bloom_fixed_partials(
         counts: dict[int, int] = {}
         maxid: dict[int, int] = {}
         acc_elems = 0
+        open_layer = -1  # layer that appended most recently (still filling)
 
-        def drain() -> pa.RecordBatch | None:
+        def dense_counts(chunks: list[np.ndarray], g: BloomGeometry) -> bytes:
+            # per-KM-band bincount: each band's counter space
+            # (counts_per_func cells) is L2-resident, so the scatter
+            # never leaves cache the way a whole-space sort does.
+            # Chunks are raveled (rows, nfuncs) km_expand outputs, so
+            # a reshape recovers the band columns exactly.
+            cat = np.concatenate(chunks).reshape(-1, g.nfuncs)
+            cpf = g.counts_per_func
+            out = np.empty(g.size, dtype=np.uint8)
+            for b in range(g.nfuncs):
+                db = np.bincount(
+                    cat[:, b] - np.uint32(b) * np.uint32(cpf), minlength=cpf
+                )
+                np.minimum(db, 15, out=db)
+                out[b * cpf:(b + 1) * cpf] = db
+            return out.tobytes()
+
+        def drain(final: bool = True) -> pa.RecordBatch | None:
             nonlocal idx_parts, counts, maxid, acc_elems
-            if not idx_parts:
+            held: int | None = None
+            if (not final and dense_piece_frac is not None
+                    and open_layer in idx_parts):
+                # hold back the still-filling layer unless it already
+                # clears the dense threshold: a mid-stream flush would
+                # otherwise fragment a would-be dense layer into sparse
+                # slivers (sort + scatter-merge on both sides). The
+                # held memory is < dense_piece_frac·size elems, so the
+                # flush bound only stretches by that constant. The
+                # artifact is invariant to piece boundaries either way:
+                # min(15, Σ min(15, tᵢ)) == min(15, Σ tᵢ).
+                g = layer_geom(open_layer)
+                if (sum(c.size for c in idx_parts[open_layer])
+                        < dense_piece_frac * g.size):
+                    held = open_layer
+            if not idx_parts or set(idx_parts) == {held}:
                 return None
             layers, gaps_b, exc_b, val_b, ns, mx = [], [], [], [], [], []
             for li in sorted(idx_parts):
-                nz, cnts = np.unique(
-                    np.concatenate(idx_parts[li]), return_counts=True
-                )
-                gaps, exc = delta_encode(nz.astype(np.int64))
+                if li == held:
+                    continue
+                g = layer_geom(li)
+                elems = sum(c.size for c in idx_parts[li])
+                if (dense_piece_frac is not None
+                        and elems >= dense_piece_frac * g.size):
+                    # dense piece: empty idx is the marker (a sparse
+                    # piece with n>0 always has a non-empty gap stream)
+                    gaps, exc = b"", b""
+                    vals = dense_counts(idx_parts[li], g)
+                else:
+                    nz, cnts = np.unique(
+                        np.concatenate(idx_parts[li]), return_counts=True
+                    )
+                    gaps, exc = delta_encode(nz.astype(np.int64))
+                    vals = np.minimum(cnts, 15).astype(np.uint8).tobytes()
                 layers.append(li)
                 gaps_b.append(gaps)
                 exc_b.append(exc)
-                val_b.append(np.minimum(cnts, 15).astype(np.uint8).tobytes())
+                val_b.append(vals)
                 ns.append(counts[li])
                 mx.append(maxid[li])
             rb = pa.RecordBatch.from_pydict(
@@ -639,7 +708,13 @@ def scaling_bloom_fixed_partials(
                  "n": ns, "max_id": mx},
                 schema=piece_pa_schema,
             )
-            idx_parts, counts, maxid, acc_elems = {}, {}, {}, 0
+            if held is not None:
+                idx_parts = {held: idx_parts[held]}
+                counts = {held: counts[held]}
+                maxid = {held: maxid[held]}
+                acc_elems = sum(c.size for c in idx_parts[held])
+            else:
+                idx_parts, counts, maxid, acc_elems = {}, {}, {}, 0
             return rb
 
         for batch in batches:
@@ -666,8 +741,9 @@ def scaling_bloom_fixed_partials(
                 acc_elems += arr.size
                 counts[li] = counts.get(li, 0) + int(m.sum())
                 maxid[li] = max(maxid.get(li, 0), int(ids[m].max()))
+                open_layer = li
             if acc_elems >= flush_elems:
-                rb = drain()
+                rb = drain(final=False)
                 if rb is not None:
                     yield rb
         rb = drain()
@@ -686,6 +762,17 @@ def scaling_bloom_fixed_partials(
         g = layer_geom(li)
         acc = np.zeros(g.size, dtype=np.int32)
         for gap_bytes, exc_bytes, val_bytes in zip(pdf.idx, pdf.exc, pdf.vals):
+            if len(gap_bytes) == 0:
+                # dense piece (see piece_stage): vals IS the clipped
+                # counter array — straight vector add, no decode
+                dense = np.frombuffer(val_bytes, dtype=np.uint8)
+                if dense.size != g.size:
+                    raise ValueError(
+                        f"dense piece for layer {li} has {dense.size} "
+                        f"counters, geometry expects {g.size}"
+                    )
+                acc += dense
+                continue
             idx = delta_decode(gap_bytes, exc_bytes)
             np.add.at(acc, idx, np.frombuffer(val_bytes, dtype=np.uint8).astype(np.int32))
         np.clip(acc, 0, 15, out=acc)

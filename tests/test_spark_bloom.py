@@ -608,6 +608,59 @@ def test_approx_n_keys_slack_covers_undershoot(spark):
     assert 10_000 <= n <= int(10_000 * 1.25)
 
 
+def test_fixed_partials_dense_piece_bit_identity(spark, tmp_path, monkeypatch):
+    """The dense-piece drain encoding (banded bincount, empty-idx
+    marker) is a pure transport optimization: sparse-only
+    (dense_piece_frac=None, the pre-dense code path), the default
+    mixed threshold, and all-dense (frac=0.0) must produce
+    BIT-IDENTICAL layer artifacts — the artifact is invariant to both
+    encoding and piece boundaries (min(15, Σ min(15, tᵢ)) ==
+    min(15, Σ tᵢ)). A tiny flush threshold forces mid-stream drains,
+    exercising the hold-back of the still-filling layer."""
+    from dablooms_spark.operators import bloom_build as bb
+    from dablooms_spark.operators.bloom_build import (
+        scaling_bloom_fixed_partials,
+    )
+
+    df = spark.range(16_000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("key"), F.col("id")
+    )
+    blobs = []
+    # 20k elems ≈ many drains per partition at this size; the frac=0.7
+    # variant drains mid-layer with hold-back active
+    monkeypatch.setattr(bb, "PIECE_FLUSH_ELEMS", 20_000)
+    for name, frac in [("sparse", None), ("mixed", 0.5), ("dense", 0.0),
+                       ("holdback", 0.7)]:
+        path = str(tmp_path / f"dpf_{name}")
+        scaling_bloom_fixed_partials(
+            df.repartition(5), "key", "id", capacity=2_000,
+            error_rate=0.05, dense_piece_frac=frac,
+        ).write.parquet(path)
+        blobs.append(
+            {r.first_id: bytes(r.blob)
+             for r in spark.read.parquet(path).collect()}
+        )
+    assert blobs[0] == blobs[1] == blobs[2] == blobs[3]
+    monkeypatch.setattr(bb, "PIECE_FLUSH_ELEMS", 4 << 20)
+    # saturation parity: heavy duplicate keys clip counters at 15 the
+    # same way through both encodings (per-piece clip, then sum+clip)
+    dup = spark.range(4_000).select(
+        (F.col("id") % 7).cast("string").alias("key"), F.col("id")
+    )
+    pair = []
+    for name, frac in [("sat_sparse", None), ("sat_dense", 0.0)]:
+        path = str(tmp_path / name)
+        scaling_bloom_fixed_partials(
+            dup.repartition(4), "key", "id", capacity=2_000,
+            error_rate=0.05, dense_piece_frac=frac,
+        ).write.parquet(path)
+        pair.append(
+            {r.first_id: bytes(r.blob)
+             for r in spark.read.parquet(path).collect()}
+        )
+    assert pair[0] == pair[1]
+
+
 def test_fixed_layer_eps_budget_and_savings():
     """The uniform eps schedule: Sigma <= eps for any hint (right,
     wrong, with overflow), and it genuinely shrinks geometry vs the

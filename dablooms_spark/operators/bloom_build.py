@@ -653,9 +653,10 @@ def scaling_bloom_fixed_partials(
             cpf = g.counts_per_func
             out = np.empty(g.size, dtype=np.uint8)
             for b in range(g.nfuncs):
-                db = np.bincount(
-                    cat[:, b] - np.uint32(b) * np.uint32(cpf), minlength=cpf
-                )
+                # plain-int offset: exact in both the uint32 and the
+                # giant-geometry int64 km_expand dtypes (a uint32
+                # product would wrap for band offsets past 2^32)
+                db = np.bincount(cat[:, b] - b * cpf, minlength=cpf)
                 np.minimum(db, 15, out=db)
                 out[b * cpf:(b + 1) * cpf] = db
             return out.tobytes()

@@ -92,7 +92,14 @@ def main():
     md = os.path.join(REPO, "BENCH", "lastrun.md")
     with open(md, "w") as fh:
         fh.write(
-            f"""# BENCH/BASELINE — measured throughput & scaling efficiency
+            f"""# BENCH/lastrun — SINGLE-RUN scratch report (NOT the curated evidence)
+
+This file is overwritten by every `tools/bench_scaling.py` invocation
+and shows ONE run under whatever host conditions prevailed — read
+`BENCH/BASELINE.md` (curated, min-per-level across runs) and
+`BENCH/paired_evidence.jsonl` + `tools/paired_summary.py` (the
+same-window paired protocol that supersedes lone runs for ratio
+claims) for the evidence of record.
 
 Job: counting-bloom and scaling-bloom build+merge over an identical
 deterministic {n_rows:,}-row synthetic CC-style `webpages` corpus

@@ -24,12 +24,20 @@ for r in rows:
     q = r["quotient"]
     all_q.append(q)
     ctl = r.get("control", {}).get("eff")
+    # validity = the rule the record was COLLECTED under: double-
+    # bracketed records (run 6+) carry window_valid (both brackets
+    # must scale >= 0.8); earlier single-bracket records use the
+    # opening control alone
+    if "window_valid" in r:
+        is_valid = bool(r["window_valid"])
+    else:
+        is_valid = ctl is not None and ctl >= 0.8
     flag = ""
     if ctl is not None:
         ratios.append(q / ctl if ctl > 0 else float("inf"))
-        if ctl >= 0.8:
-            valid_q.append(q)
-            flag = "  <-- VALID WINDOW"
+    if is_valid:
+        valid_q.append(q)
+        flag = "  <-- VALID WINDOW"
     extra = ""
     for key in sorted(r):
         if key.startswith("quotient_"):
@@ -37,7 +45,7 @@ for r in rows:
             extra += f"  {name}={r[key]:.4f}"
             bucket = companions.setdefault(name, {"all": [], "valid": []})
             bucket["all"].append(r[key])
-            if ctl is not None and ctl >= 0.8:
+            if is_valid:
                 bucket["valid"].append(r[key])
     print(
         f"{r['ts']}  q={q:.4f}  control={ctl if ctl is not None else '—'}"

@@ -38,6 +38,15 @@ for r in rows:
     if is_valid:
         valid_q.append(q)
         flag = "  <-- VALID WINDOW"
+    # the headline quotient belongs to the record's own job bucket too
+    # (runs where a job rode as headline rather than companion would
+    # otherwise vanish from that job's median — e.g. run 6's counting)
+    head = companions.setdefault(
+        r.get("job", "scaling"), {"all": [], "valid": []}
+    )
+    head["all"].append(q)
+    if is_valid:
+        head["valid"].append(q)
     extra = ""
     for key in sorted(r):
         if key.startswith("quotient_"):

@@ -83,7 +83,13 @@ def _merge_blob_list(blobs: list[bytes], seed: int):
     return _loads(_merge_blobs_to_bytes(blobs, seed), seed)
 
 
-def _tree_merge(blob_df: DataFrame, seed: int, fanin: int = 8, collect_threshold: int = 8):
+def _tree_merge(
+    blob_df: DataFrame,
+    seed: int,
+    fanin: int = 8,
+    collect_threshold: int = 8,
+    num_blobs: int | None = None,
+):
     """Merge a DataFrame of (shard, blob, n) rows down to one filter.
 
     Shuffles only blobs. Rounds of groupBy(shard % k) with k =
@@ -93,6 +99,13 @@ def _tree_merge(blob_df: DataFrame, seed: int, fanin: int = 8, collect_threshold
     wide enough to use the cluster — with wide filters the merge is
     memory-bandwidth work, and one task merging 64 blobs serializes
     exactly what the tree is meant to parallelize.
+
+    Pass num_blobs (any upper bound — builders know their partition or
+    shard count) to size the tree STATICALLY: the dynamic path must
+    persist + count() the partials — one extra full job over the input
+    plus a cache round-trip — purely to learn a number the caller
+    already had. With the bound, the whole merge is ONE action (the
+    final collect); an overestimate only adds empty merge groups.
     """
 
     def merge_group(pdf):
@@ -107,12 +120,7 @@ def _tree_merge(blob_df: DataFrame, seed: int, fanin: int = 8, collect_threshold
             }
         )
 
-    blob_df = blob_df.persist()
-    try:
-        n = blob_df.count()
-        if n == 0:
-            return None, 0
-        df = blob_df
+    def tree_rounds(df: DataFrame, n: int) -> DataFrame:
         while n > collect_threshold:
             k = math.ceil(n / fanin)
             df = (
@@ -124,14 +132,55 @@ def _tree_merge(blob_df: DataFrame, seed: int, fanin: int = 8, collect_threshold
                 )
             )
             n = k
-        rows = df.collect()
-    finally:
-        # a strict (on_overflow='error') merge RAISES on overflow —
-        # an expected path that must not leak the pinned partials
-        blob_df.unpersist()
+        return df
+
+    if num_blobs is not None:
+        rows = tree_rounds(blob_df, max(int(num_blobs), 1)).collect()
+        if not rows:
+            return None, 0
+    else:
+        blob_df = blob_df.persist()
+        try:
+            n = blob_df.count()
+            if n == 0:
+                return None, 0
+            rows = tree_rounds(blob_df, n).collect()
+        finally:
+            # a strict (on_overflow='error') merge RAISES on overflow —
+            # an expected path that must not leak the pinned partials
+            blob_df.unpersist()
     filt = _merge_blob_list([r.blob for r in rows], seed)
     total = sum(r.n for r in rows)
     return filt, total
+
+
+#: optimized-logical-plan nodes that are NARROW (no exchange, no
+#: broadcast, no Python stage) — the only shapes for which calling
+#: .rdd.getNumPartitions() is guaranteed job-free under AQE. Anything
+#: else (joins, aggregates, repartitions, mapInArrow, ...) could have
+#: its query stages EXECUTED by the .rdd conversion, silently running
+#: the plan twice, so those fall back to the dynamic count path.
+_NARROW_PLAN_NODES = frozenset(
+    {"Project", "Filter", "Relation", "Range", "LocalRelation", "LogicalRDD"}
+)
+
+
+def _static_num_partitions(df: DataFrame) -> int | None:
+    """Partition count of a provably-narrow plan, else None.
+
+    Used to size merge trees without a count() job (guide §1/§2.4: the
+    dynamic path pays persist + one full extra job over the input just
+    to learn a number the plan already knows). Returning None is always
+    safe — callers keep the dynamic persist+count path."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        for line in plan.splitlines():
+            node = line.lstrip(" :+-*").split(" ", 1)[0].rstrip(",")
+            if node and node not in _NARROW_PLAN_NODES:
+                return None
+        return int(df.rdd.getNumPartitions())
+    except Exception:
+        return None
 
 
 # the delta-u8 gap codec lives in core/codec.py (shared with the
@@ -344,7 +393,11 @@ def build_counting_bloom(
     blob_df = counting_bloom_partials(
         df, key_col, capacity, error_rate, seed, num_build_partitions, on_overflow
     )
-    filt, _ = _tree_merge(blob_df, seed, merge_fanin)
+    # static tree sizing: partials emit <= 1 blob per input partition,
+    # so the partition count bounds the blob count — one action total
+    # instead of persist + count + collect (guide §1.2: fewer passes)
+    num_blobs = num_build_partitions or _static_num_partitions(df)
+    filt, _ = _tree_merge(blob_df, seed, merge_fanin, num_blobs=num_blobs)
     if filt is None:
         return CountingBloom(capacity, error_rate, seed=seed, on_overflow=on_overflow)
     return filt
@@ -978,7 +1031,12 @@ def build_scaling_bloom(
     blob_df = scaling_bloom_partials(
         df, key_col, id_col, capacity, error_rate, seed, num_shards
     )
-    filt, _ = _tree_merge(blob_df, seed, merge_fanin)
+    # the range build repartitions to num_shards before its partial
+    # stage, so the blob count is statically bounded by the shard count
+    filt, _ = _tree_merge(
+        blob_df, seed, merge_fanin,
+        num_blobs=num_shards or df.sparkSession.sparkContext.defaultParallelism,
+    )
     if filt is None:
         return ScalingBloom(capacity, error_rate, seed=seed)
     return filt

@@ -98,11 +98,64 @@ def sketch_agg(df: DataFrame, col: str, kind: str, **params):
             )
 
     blob_df = sdf.mapInArrow(build, schema="shard long, blob binary, n long")
-    # _tree_merge dispatches via blob magic; give it our deserializer
-    sk, _n = _tree_merge(blob_df, seed=0, fanin=8)
+    # _tree_merge dispatches via blob magic; static sizing from the
+    # (narrow) input plan's partition count skips the persist+count
+    # job the dynamic path pays just to learn the blob count
+    from dablooms_spark.operators.bloom_build import _static_num_partitions
+
+    sk, _n = _tree_merge(
+        blob_df, seed=0, fanin=8, num_blobs=_static_num_partitions(sdf)
+    )
     if sk is None:
         sk, _ = _make(kind, params)
     return sk
+
+
+def _grouped_build_partials(
+    batches: Iterator[pa.RecordBatch], kind: str, params: dict, mode: str
+) -> Iterator[pa.RecordBatch]:
+    """Phase-1 body shared by grouped_sketch_agg and the fused
+    merge+finalize operators: one partial sketch per group per task,
+    batch rows partitioned by group Arrow-side (no per-row Python)."""
+    sketches: dict[str, object] = {}
+    counts: dict[str, int] = {}
+    for batch in batches:
+        tbl = pa.Table.from_batches([batch])
+        # partition batch rows by group using Arrow-side dictionary
+        # encoding (no per-row Python): sort indices by group code
+        g = batch.column(0)
+        codes = pa.compute.dictionary_encode(g)
+        idx = pa.compute.sort_indices(codes.indices)
+        sorted_tbl = tbl.take(idx)
+        sorted_codes = codes.indices.take(idx).to_numpy(zero_copy_only=False)
+        dict_vals = codes.dictionary.to_pylist()
+        bounds = np.searchsorted(
+            sorted_codes, np.arange(len(dict_vals) + 1), side="left"
+        )
+        vcol = sorted_tbl.column(1).combine_chunks()
+        for gi, gname in enumerate(dict_vals):
+            lo, hi = int(bounds[gi]), int(bounds[gi + 1])
+            if lo == hi:
+                continue
+            sk = sketches.get(gname)
+            if sk is None:
+                sk, _m = _make(kind, params)
+                sketches[gname] = sk
+                counts[gname] = 0
+            _update_from_arrow(sk, mode, vcol.slice(lo, hi - lo))
+            counts[gname] += hi - lo
+    if sketches:
+        names = list(sketches)
+        yield pa.RecordBatch.from_pydict(
+            {
+                "g": names,
+                "blob": [sketches[n].to_bytes() for n in names],
+                "n": [counts[n] for n in names],
+            },
+            schema=pa.schema(
+                [("g", pa.large_string()), ("blob", pa.large_binary()), ("n", pa.int64())]
+            ),
+        )
 
 
 def grouped_sketch_agg(
@@ -123,45 +176,7 @@ def grouped_sketch_agg(
     ).filter(F.col("v").isNotNull() & F.col("g").isNotNull())
 
     def build(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        sketches: dict[str, object] = {}
-        counts: dict[str, int] = {}
-        for batch in batches:
-            tbl = pa.Table.from_batches([batch])
-            # partition batch rows by group using Arrow-side dictionary
-            # encoding (no per-row Python): sort indices by group code
-            g = batch.column(0)
-            codes = pa.compute.dictionary_encode(g)
-            idx = pa.compute.sort_indices(codes.indices)
-            sorted_tbl = tbl.take(idx)
-            sorted_codes = codes.indices.take(idx).to_numpy(zero_copy_only=False)
-            dict_vals = codes.dictionary.to_pylist()
-            bounds = np.searchsorted(
-                sorted_codes, np.arange(len(dict_vals) + 1), side="left"
-            )
-            vcol = sorted_tbl.column(1).combine_chunks()
-            for gi, gname in enumerate(dict_vals):
-                lo, hi = int(bounds[gi]), int(bounds[gi + 1])
-                if lo == hi:
-                    continue
-                sk = sketches.get(gname)
-                if sk is None:
-                    sk, _m = _make(kind, params)
-                    sketches[gname] = sk
-                    counts[gname] = 0
-                _update_from_arrow(sk, mode, vcol.slice(lo, hi - lo))
-                counts[gname] += hi - lo
-        if sketches:
-            names = list(sketches)
-            yield pa.RecordBatch.from_pydict(
-                {
-                    "g": names,
-                    "blob": [sketches[n].to_bytes() for n in names],
-                    "n": [counts[n] for n in names],
-                },
-                schema=pa.schema(
-                    [("g", pa.large_string()), ("blob", pa.large_binary()), ("n", pa.int64())]
-                ),
-            )
+        yield from _grouped_build_partials(batches, kind, params, mode)
 
     partials = sdf.mapInArrow(build, schema="g string, blob binary, n long")
 
@@ -269,6 +284,46 @@ def rollup_distinct(
 # ---------------------------------------------------------------------------
 
 
+def _grouped_merge_finalize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    kind: str,
+    params: dict,
+    finalize,
+    out_schema: str,
+) -> DataFrame:
+    """grouped_sketch_agg's phase 1 + a SINGLE phase-2 applyInPandas
+    that merges each group's partial blobs AND finalizes (estimate /
+    quantiles) in the same pass.
+
+    The two-pass form (merge applyInPandas, then a second groupBy +
+    applyInPandas for the estimate) pays a second Exchange + pandas
+    round-trip: the merge's output attributes are new to Catalyst, so
+    the follow-up groupBy cannot reuse the first shuffle's
+    partitioning. The fold order over each group's blobs is the same
+    shuffle-arrival order as the two-pass form — results identical."""
+    _, mode = _KINDS[kind]
+    cast = "string" if mode == "string" else "double"
+    sdf = df.select(
+        F.col(group_col).cast("string").alias("g"),
+        F.col(value_col).cast(cast).alias("v"),
+    ).filter(F.col("v").isNotNull() & F.col("g").isNotNull())
+
+    def build(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        yield from _grouped_build_partials(batches, kind, params, mode)
+
+    partials = sdf.mapInArrow(build, schema="g string, blob binary, n long")
+
+    def merge_finalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = _loads_any(pdf.blob.iloc[0])
+        for b in pdf.blob.iloc[1:]:
+            sk = sk.merge(_loads_any(b))
+        return finalize(pdf.g.iloc[0], sk)
+
+    return partials.groupBy("g").applyInPandas(merge_finalize, schema=out_schema)
+
+
 def approx_distinct_by(
     df: DataFrame, group_col: str, key_col: str, p: int = 14, sparse: bool = False
 ) -> DataFrame:
@@ -281,16 +336,15 @@ def approx_distinct_by(
     regime); bigger groups upgrade to dense registers losslessly and
     answer with the usual ~1.04/sqrt(m) error. Blob shuffle bytes only
     shrink: a sparse blob never outgrows the register array."""
-    blobs = grouped_sketch_agg(df, group_col, key_col, "hll", p=p, sparse=sparse)
 
-    def estimate(pdf: pd.DataFrame) -> pd.DataFrame:
-        ests = [
-            int(round(HyperLogLog.from_bytes(b).estimate())) for b in pdf.blob
-        ]
-        return pd.DataFrame({group_col: pdf[group_col], "approx_distinct": ests})
+    def finalize(g: str, sk) -> pd.DataFrame:
+        return pd.DataFrame(
+            {group_col: [g], "approx_distinct": [int(round(sk.estimate()))]}
+        )
 
-    return blobs.groupBy(group_col).applyInPandas(
-        estimate, schema=f"{group_col} string, approx_distinct long"
+    return _grouped_merge_finalize(
+        df, group_col, key_col, "hll", {"p": p, "sparse": sparse},
+        finalize, f"{group_col} string, approx_distinct long",
     )
 
 
@@ -304,22 +358,17 @@ def quantiles_by(
 ) -> DataFrame:
     """Per-group quantile estimates: (group, q double, value double)."""
     assert kind in ("tdigest", "kll")
-    blobs = grouped_sketch_agg(df, group_col, value_col, kind, **params)
-    cls = TDigest if kind == "tdigest" else KLLSketch
     qs = list(quantiles)
 
-    def estimate(pdf: pd.DataFrame) -> pd.DataFrame:
-        out_g, out_q, out_v = [], [], []
-        for g, b in zip(pdf[group_col], pdf.blob):
-            sk = cls.from_bytes(b)
-            vals = sk.quantile(qs)
-            out_g.extend([g] * len(qs))
-            out_q.extend(qs)
-            out_v.extend(float(v) for v in vals)
-        return pd.DataFrame({group_col: out_g, "q": out_q, "value": out_v})
+    def finalize(g: str, sk) -> pd.DataFrame:
+        vals = sk.quantile(qs)
+        return pd.DataFrame(
+            {group_col: [g] * len(qs), "q": qs, "value": [float(v) for v in vals]}
+        )
 
-    return blobs.groupBy(group_col).applyInPandas(
-        estimate, schema=f"{group_col} string, q double, value double"
+    return _grouped_merge_finalize(
+        df, group_col, value_col, kind, params, finalize,
+        f"{group_col} string, q double, value double",
     )
 
 

@@ -28,6 +28,8 @@ express.
 from __future__ import annotations
 
 from collections.abc import Iterator
+from typing import Iterator as TIterator
+from typing import Tuple as TTuple
 
 import numpy as np
 import pandas as pd
@@ -40,6 +42,11 @@ from dablooms_spark.core.counting_bloom import CountingBloom
 from dablooms_spark.functions.arrow_utils import arrow_byte_view
 from dablooms_spark.functions.murmur import DABLOOMS_SEED, dablooms_hash_words_buffer
 
+try:  # Spark 4.1+: true Arrow UDFs for the broadcast probe path
+    from pyspark.sql.functions import arrow_udf as _arrow_udf
+except ImportError:  # pragma: no cover - older Spark fallback
+    _arrow_udf = None
+
 _SHARD_SEED = 0x5D
 
 
@@ -47,6 +54,97 @@ def _shard_expr(key, num_shards: int):
     # JVM-side routing: both build and probe compute the same shard in
     # whole-stage codegen; murmur is only used for the filter bits
     return F.pmod(F.xxhash64(key, F.lit(_SHARD_SEED)), F.lit(num_shards))
+
+
+def _probe_broadcast_bytes(spark) -> int:
+    """Size ceiling under which a sharded filter's blobs are collected
+    and BROADCAST for a shuffle-free probe instead of co-grouped
+    (guide §2.4/§3.1: a broadcast of the small side replaces a shuffle
+    of the big side — here the big side is every probe row with all
+    its payload columns). Parameterised via
+    spark.dablooms.probe.autoBroadcastBytes (size string; '0' disables
+    broadcast routing entirely); the 64 MiB default is an
+    executor-memory bound, independent of data scale: filters above it
+    keep the cogroup topology that never materializes the filter in
+    one place."""
+    from dablooms_spark.operators.bloom_probe import _parse_size_bytes
+
+    try:
+        v = spark.conf.get("spark.dablooms.probe.autoBroadcastBytes", "64m")
+    except Exception:
+        v = "64m"
+    try:
+        return _parse_size_bytes(v)
+    except Exception:
+        return 64 << 20
+
+
+def _measure_blobs(blobs_df: DataFrame) -> tuple[DataFrame, int]:
+    """Persist the blob rows and return (persisted_df, total_blob_bytes).
+
+    One tiny aggregate over the (already small) blob side decides the
+    probe topology; the persist makes the decision pass and the probe
+    itself share ONE computation of the build lineage. In the
+    broadcast outcome the cache is dropped immediately after collect;
+    in the cogroup outcome it stays so the probe reads cached blobs."""
+    blobs_df = blobs_df.persist()
+    row = blobs_df.agg(
+        F.sum(F.length(F.col("blob"))).alias("__bytes")
+    ).first()
+    total = int(row["__bytes"] or 0)
+    return blobs_df, total
+
+
+def _broadcast_counting_probe_udf(spark, shard_blobs: dict, seed: int):
+    """Vectorized membership UDF over (key_str, shard) against a
+    broadcast {shard: blob} dict — the shuffle-free probe for sharded
+    counting filters small enough to replicate. Arrow-native on Spark
+    4.1+, pandas fallback otherwise; filters deserialize once per task
+    (iterator form, guide §4.5)."""
+    bc = spark.sparkContext.broadcast(shard_blobs)
+
+    def probe_batch(keys: pa.Array, shards: np.ndarray, cache: dict) -> np.ndarray:
+        blobs = bc.value
+        buf, offs, lens = arrow_byte_view(keys)
+        h1, h2 = dablooms_hash_words_buffer(buf, offs, lens, seed)
+        verdict = np.zeros(len(shards), dtype=bool)
+        for s in np.unique(shards):
+            blob = blobs.get(int(s))
+            if blob is None:
+                continue
+            cb = cache.get(int(s))
+            if cb is None:
+                cb = CountingBloom.from_bytes(blob, seed=seed)
+                cache[int(s)] = cb
+            m = shards == s
+            verdict[m] = cb.check_hashed(h1[m], h2[m])
+        if keys.null_count:
+            # NULL keys are definite non-members (parity with the
+            # cogroup path's mask)
+            verdict &= ~np.asarray(pa.compute.is_null(keys))
+        return verdict
+
+    if _arrow_udf is not None:
+        @_arrow_udf("boolean")
+        def probe(it: TIterator[TTuple[pa.Array, pa.Array]]) -> TIterator[pa.Array]:
+            cache: dict = {}
+            for keys, shards in it:
+                sh = shards.to_numpy(zero_copy_only=False).astype(np.int64)
+                yield pa.array(probe_batch(keys, sh, cache))
+
+        return probe
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def probe(it: TIterator[TTuple[pd.Series, pd.Series]]) -> TIterator[pd.Series]:
+        cache: dict = {}
+        for keys, shards in it:
+            arr = pa.array(keys, type=pa.large_string())
+            sh = shards.to_numpy(dtype=np.int64, na_value=0)
+            yield pd.Series(probe_batch(arr, sh, cache))
+
+    return probe
 
 
 def build_sharded_counting_bloom(
@@ -195,11 +293,31 @@ def sharded_bloom_probe(
 
     `key_cast`: optional intermediate type applied BEFORE the string
     cast — must match the build side's cast (see bloom_probe_column).
+
+    Topology is SIZE-ADAPTIVE (guide §2.4): when the filter's total
+    blob bytes fit spark.dablooms.probe.autoBroadcastBytes (default
+    64 MiB, '0' disables) the blobs are collected + broadcast and the
+    verdict is a vectorized UDF column — zero shuffle of the probe
+    side. Bigger filters keep the cogroup topology below, which never
+    materializes the filter in one place. Verdicts are identical
+    either way (same blobs, same hash kernel, same NULL handling).
     """
     key = F.col(key_col)
     if key_cast is not None:
         key = key.cast(key_cast)
     key = key.cast("string")
+    spark = probe_df.sparkSession
+    thr = _probe_broadcast_bytes(spark)
+    if thr > 0:
+        blobs_df, total = _measure_blobs(blobs_df)
+        if total <= thr:
+            rows = blobs_df.collect()
+            blobs_df.unpersist()
+            shard_blobs = {int(r["shard"]): bytes(r["blob"]) for r in rows}
+            probe = _broadcast_counting_probe_udf(spark, shard_blobs, seed)
+            return probe_df.withColumn(
+                out_col, probe(key, _shard_expr(key, num_shards))
+            )
     # __key_str is the JVM CAST(key AS STRING) — the exact bytes the
     # build hashed; re-rendering python-side (astype(str)) can differ
     # for doubles/decimals and would false-negative

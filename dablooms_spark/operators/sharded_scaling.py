@@ -39,6 +39,8 @@ the single mmap file cannot express.
 from __future__ import annotations
 
 from collections.abc import Iterator
+from typing import Iterator as TIterator
+from typing import Tuple as TTuple
 
 import numpy as np
 import pandas as pd
@@ -52,7 +54,12 @@ from dablooms_spark.core.geometry import BloomGeometry
 from dablooms_spark.functions.arrow_utils import arrow_byte_view
 from dablooms_spark.functions.hashing import km_expand
 from dablooms_spark.functions.murmur import DABLOOMS_SEED, dablooms_hash_words_buffer
-from dablooms_spark.operators.sharded import _SHARD_SEED, _shard_expr
+from dablooms_spark.operators.sharded import (
+    _SHARD_SEED,
+    _measure_blobs,
+    _probe_broadcast_bytes,
+    _shard_expr,
+)
 
 _POLY = 6.0 / (np.pi ** 2)  # retained for older callers; see fixed_layer_eps
 
@@ -294,6 +301,68 @@ def build_sharded_scaling_layers(
     )
 
 
+def _broadcast_scaling_probe_udf(spark, shard_layers: dict, seed: int):
+    """Vectorized membership UDF over (key_str, shard) against
+    broadcast {shard: [layer blobs newest-first]} — the shuffle-free
+    probe for sharded scaling filters small enough to replicate. Same
+    newest-first early-skip loop as the cogroup path; layers
+    deserialize once per task (iterator form, guide §4.5)."""
+    bc = spark.sparkContext.broadcast(shard_layers)
+
+    def probe_batch(keys: pa.Array, shards: np.ndarray, cache: dict) -> np.ndarray:
+        layers = bc.value
+        buf, offs, lens = arrow_byte_view(keys)
+        h1, h2 = dablooms_hash_words_buffer(buf, offs, lens, seed)
+        verdict = np.zeros(len(shards), dtype=bool)
+        for s in np.unique(shards):
+            blobs = layers.get(int(s))
+            if not blobs:
+                continue
+            cbs = cache.get(int(s))
+            if cbs is None:
+                cbs = [CountingBloom.from_bytes(b, seed=seed) for b in blobs]
+                cache[int(s)] = cbs
+            idx = np.flatnonzero(shards == s)
+            unknown = np.ones(len(idx), dtype=bool)
+            for cb in cbs:
+                if not unknown.any():
+                    break
+                sub = idx[unknown]
+                hit = cb.check_hashed(h1[sub], h2[sub])
+                verdict[sub[hit]] = True
+                unknown[np.flatnonzero(unknown)[hit]] = False
+        if keys.null_count:
+            # NULL keys are definite non-members (parity with the
+            # cogroup path's mask)
+            verdict &= ~np.asarray(pa.compute.is_null(keys))
+        return verdict
+
+    from dablooms_spark.operators import sharded as _sharded
+
+    if _sharded._arrow_udf is not None:
+        _arrow_udf = _sharded._arrow_udf
+        @_arrow_udf("boolean")
+        def probe(it: TIterator[TTuple[pa.Array, pa.Array]]) -> TIterator[pa.Array]:
+            cache: dict = {}
+            for keys, shards in it:
+                sh = shards.to_numpy(zero_copy_only=False).astype(np.int64)
+                yield pa.array(probe_batch(keys, sh, cache))
+
+        return probe
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def probe(it: TIterator[TTuple[pd.Series, pd.Series]]) -> TIterator[pd.Series]:
+        cache: dict = {}
+        for keys, shards in it:
+            arr = pa.array(keys, type=pa.large_string())
+            sh = shards.to_numpy(dtype=np.int64, na_value=0)
+            yield pd.Series(probe_batch(arr, sh, cache))
+
+    return probe
+
+
 def sharded_scaling_probe(
     probe_df: DataFrame,
     key_col: str,
@@ -311,8 +380,43 @@ def sharded_scaling_probe(
     once a key answers positive it drops out of later (older) layer
     checks, the vectorized form of scaling_bloom_check's loop
     (src/dablooms.c ≈L238 family). No false negatives; FPs ≤ the
-    compound Σ layer budgets ≤ sb_eps."""
+    compound Σ layer budgets ≤ sb_eps.
+
+    Topology is SIZE-ADAPTIVE (guide §2.4): when the layer rows' total
+    blob bytes fit spark.dablooms.probe.autoBroadcastBytes (default
+    64 MiB, '0' disables) the layers are collected + broadcast and the
+    verdict is a vectorized UDF column — zero shuffle of the probe
+    side (which otherwise moves EVERY probe row with all its payload
+    columns through the cogroup). Bigger filters keep the cogroup
+    topology, which never materializes the filter in one place.
+    Verdicts are identical either way (same blobs, same newest-first
+    early-skip loop, same NULL handling)."""
     key = F.col(key_col).cast("string")
+    spark = probe_df.sparkSession
+    thr = _probe_broadcast_bytes(spark)
+    if thr > 0:
+        layers_df2, total = _measure_blobs(_ensure_num_shards(layers_df, num_shards))
+        if total <= thr:
+            rows = layers_df2.collect()
+            layers_df2.unpersist()
+            if rows:
+                built_shards = int(rows[0]["num_shards"])
+                if built_shards != num_shards:
+                    raise ValueError(
+                        f"num_shards drift: layer rows were built with "
+                        f"num_shards={built_shards}, probe called with "
+                        f"{num_shards} — shard routing and layer width differ"
+                    )
+            shard_layers: dict[int, list[bytes]] = {}
+            for r in sorted(rows, key=lambda r: -int(r["first_id"])):
+                shard_layers.setdefault(int(r["shard"]), []).append(
+                    bytes(r["blob"])
+                )
+            probe = _broadcast_scaling_probe_udf(spark, shard_layers, seed)
+            return probe_df.withColumn(
+                out_col, probe(key, _shard_expr(key, num_shards))
+            )
+        layers_df = layers_df2
     # __key_str is the JVM CAST(key AS STRING) — the exact bytes the
     # build hashed; re-rendering python-side (astype(str)) can differ
     # for doubles/decimals and would false-negative

@@ -373,6 +373,21 @@ def build_counting_bloom(
     strict flag could see the true sum)."""
     if on_overflow not in ("saturate", "error"):
         raise ValueError("on_overflow must be 'saturate' or 'error'")
+    # SCALE-ADAPTIVE stage-1 parallelism (guide §2.5 input skew /
+    # §6 split size): parquet splits at row-group granularity, so a
+    # small input (one fat row group) runs the whole hash+expand stage
+    # on ONE core no matter the cluster. When the (narrow) input plan
+    # has fewer partitions than cores, repartition the PROJECTED key
+    # column — a few bytes per row, never the payload — across the
+    # cores. At real scale inputs have >> cores partitions and this is
+    # a no-op; the filter is bit-identical under any partitioning
+    # (saturating counter-sum merge, property-tested).
+    auto_parts = None
+    if num_build_partitions is None:
+        dp = df.sparkSession.sparkContext.defaultParallelism
+        np_ = _static_num_partitions(df)
+        if np_ is not None and 0 < np_ < dp:
+            auto_parts = dp
     g = BloomGeometry(capacity, error_rate)
     if g.size > 2_000_000:
         if on_overflow == "error":
@@ -383,20 +398,21 @@ def build_counting_bloom(
                 "geometry"
             )
         sdf = df.select(F.col(key_col).alias("key")).filter(F.col("key").isNotNull())
-        if num_build_partitions:
-            sdf = sdf.repartition(num_build_partitions)
+        if num_build_partitions or auto_parts:
+            sdf = sdf.repartition(num_build_partitions or auto_parts)
         # wide filter: chunked merge — one shuffle, counter-range
         # parallelism, no multi-round tree, no fat blobs to the driver
         num_chunks = max(df.sparkSession.sparkContext.defaultParallelism, 16)
         pieces = _chunk_pieces_build(sdf, capacity, error_rate, seed, num_chunks)
         return _chunked_counting_merge(pieces, capacity, error_rate, seed, num_chunks)
     blob_df = counting_bloom_partials(
-        df, key_col, capacity, error_rate, seed, num_build_partitions, on_overflow
+        df, key_col, capacity, error_rate, seed,
+        num_build_partitions or auto_parts, on_overflow,
     )
     # static tree sizing: partials emit <= 1 blob per input partition,
     # so the partition count bounds the blob count — one action total
     # instead of persist + count + collect (guide §1.2: fewer passes)
-    num_blobs = num_build_partitions or _static_num_partitions(df)
+    num_blobs = num_build_partitions or auto_parts or _static_num_partitions(df)
     filt, _ = _tree_merge(blob_df, seed, merge_fanin, num_blobs=num_blobs)
     if filt is None:
         return CountingBloom(capacity, error_rate, seed=seed, on_overflow=on_overflow)

@@ -88,6 +88,14 @@ def murmur3_x64_128(keys, seed: int = DABLOOMS_SEED) -> tuple[np.ndarray, np.nda
     return murmur3_x64_128_buffer(buf, offsets, lengths, seed)
 
 
+#: Padded-matrix ceiling: above this many bytes (n rows x the longest
+#: row, 16-byte aligned) the one-shot padded layout would blow memory
+#: under length skew (one 1 GB document in a 20k-row batch), so those
+#: batches take the per-block gather path whose work tracks TOTAL
+#: bytes, not n x max.
+_PAD_MATRIX_MAX_BYTES = 256 << 20
+
+
 def murmur3_x64_128_buffer(
     buf: np.ndarray,
     offsets: np.ndarray,
@@ -98,11 +106,168 @@ def murmur3_x64_128_buffer(
     (offset, length) views — the zero-copy Arrow hot path: a pyarrow
     string/binary column is exactly this layout, so the Spark-side
     kernels never materialize per-row Python objects.
+
+    Layout strategy (profiled on the bench keys, guide §4.2 "hand
+    whole batches to vectorized native code"): the rows are first
+    scattered ONCE into a zero-padded (n, ceil(max_len/16)*16) uint8
+    matrix — after that every 16-byte block round and the tail are
+    contiguous column slices, where the old code paid a fancy
+    16-byte-index gather (plus index-matrix allocation) per block
+    round and a masked double-gather for the tail. Fixed-length
+    contiguous batches (Arrow guarantees back-to-back rows) skip even
+    that scatter: one reshape + one memcpy. Severely length-skewed
+    batches where n x max_len explodes fall back to the per-block
+    gather path (work proportional to total bytes).
     """
     n = len(lengths)
     if n == 0:
         e = np.empty(0, np.uint64)
         return e, e
+
+    max_len = int(lengths.max())
+    pad16 = (max_len + 15) & ~15
+    if pad16 == 0:
+        pad16 = 16
+    if n * pad16 > _PAD_MATRIX_MAX_BYTES:
+        return _murmur3_buffer_gather(buf, offsets, lengths, seed)
+
+    with np.errstate(over="ignore"):
+        lengths = np.asarray(lengths, dtype=np.int64)
+        offsets = np.asarray(offsets, dtype=np.int64)
+        nblocks = lengths >> 4
+        max_blocks = int(nblocks.max())
+        if max_blocks == 0 or int(nblocks.min()) == max_blocks:
+            # every row has the same block count: rounds touch all rows,
+            # no reorder needed
+            order = None
+            off_s, lens_s = offsets, lengths
+        else:
+            # Descending block-count order: rows needing block j form a
+            # prefix, so each round is a contiguous head slice.
+            order = np.argsort(-nblocks, kind="stable")
+            off_s, lens_s = offsets[order], lengths[order]
+        nb_s = lens_s >> 4
+
+        # --- one-shot padded layout -----------------------------------
+        if (
+            order is None
+            and int(lengths.min()) == max_len
+            and n * max_len == int(lengths.sum())
+            and (n == 1 or bool((np.diff(offsets) == max_len).all()))
+        ):
+            # fixed-length contiguous rows: reshape + one memcpy
+            block = buf[int(offsets[0]): int(offsets[0]) + n * max_len]
+            if max_len == pad16:
+                padded = np.ascontiguousarray(block).reshape(n, pad16)
+            else:
+                padded = np.zeros((n, pad16), dtype=np.uint8)
+                padded[:, :max_len] = block.reshape(n, max_len)
+        else:
+            padded = np.zeros((n, pad16), dtype=np.uint8)
+            total = int(lens_s.sum())
+            if total:
+                row_of = np.repeat(
+                    np.arange(n, dtype=np.int64) * pad16, lens_s
+                )
+                starts = np.zeros(n, dtype=np.int64)
+                np.cumsum(lens_s[:-1], out=starts[1:])
+                col_of = np.arange(total, dtype=np.int64) - np.repeat(
+                    starts, lens_s
+                )
+                if order is None and bool(
+                    np.array_equal(starts + off_s[0], off_s)
+                ):
+                    # rows are back-to-back in the buffer (the Arrow
+                    # layout): skip the per-byte source gather
+                    data = buf[int(off_s[0]): int(off_s[0]) + total]
+                else:
+                    data = buf[np.repeat(off_s, lens_s) + col_of]
+                padded.reshape(-1)[row_of + col_of] = data
+        words = padded.view("<u8")  # (n, pad16 // 8)
+
+        h1 = np.full(n, np.uint64(seed))
+        h2 = np.full(n, np.uint64(seed))
+
+        if max_blocks:
+            asc = nb_s[::-1]
+            for j in range(max_blocks):
+                cnt = n - int(np.searchsorted(asc, j, side="right"))
+                if cnt == 0:
+                    break
+                k1 = words[:cnt, 2 * j].astype(np.uint64, copy=True)
+                k2 = words[:cnt, 2 * j + 1].astype(np.uint64, copy=True)
+
+                k1 *= _C1
+                k1 = _rotl(k1, 31)
+                k1 *= _C2
+                h1[:cnt] ^= k1
+                h1[:cnt] = _rotl(h1[:cnt], 27) + h2[:cnt]
+                h1[:cnt] = h1[:cnt] * np.uint64(5) + np.uint64(0x52DCE729)
+
+                k2 *= _C2
+                k2 = _rotl(k2, 33)
+                k2 *= _C1
+                h2[:cnt] ^= k2
+                h2[:cnt] = _rotl(h2[:cnt], 31) + h1[:cnt]
+                h2[:cnt] = h2[:cnt] * np.uint64(5) + np.uint64(0x38495AB5)
+
+        # Tail (len & 15 trailing bytes): the padded matrix is already
+        # zero beyond each row's length, which matches the canonical
+        # byte-switch (absent bytes contribute 0).
+        has_tail = (lens_s & 15) > 0
+        if bool(has_tail.any()):
+            # tail-less rows have no tail word to read — and a row whose
+            # length is exactly max blocks*16 would index past the last
+            # column; clamp those to column 0 (value discarded by the
+            # np.where below)
+            wi = np.where(has_tail, nb_s << 1, 0).astype(np.int64)
+            if max_blocks == 0:
+                k1 = words[:, 0].astype(np.uint64, copy=True)
+                k2 = words[:, 1].astype(np.uint64, copy=True)
+            else:
+                rows_i = np.arange(n, dtype=np.int64)
+                k1 = words[rows_i, wi].astype(np.uint64, copy=True)
+                k2 = words[rows_i, wi + 1].astype(np.uint64, copy=True)
+            k2 *= _C2
+            k2 = _rotl(k2, 33)
+            k2 *= _C1
+            h2 = h2 ^ np.where(has_tail, k2, np.uint64(0))
+            k1 *= _C1
+            k1 = _rotl(k1, 31)
+            k1 *= _C2
+            h1 = h1 ^ np.where(has_tail, k1, np.uint64(0))
+
+        # Finalization
+        ln_s = lens_s.astype(np.uint64)
+        h1 ^= ln_s
+        h2 ^= ln_s
+        h1 += h2
+        h2 += h1
+        h1 = _fmix(h1)
+        h2 = _fmix(h2)
+        h1 += h2
+        h2 += h1
+
+    if order is None:
+        return h1, h2
+    out1 = np.empty(n, np.uint64)
+    out2 = np.empty(n, np.uint64)
+    out1[order] = h1
+    out2[order] = h2
+    return out1, out2
+
+
+def _murmur3_buffer_gather(
+    buf: np.ndarray,
+    offsets: np.ndarray,
+    lengths: np.ndarray,
+    seed: int = DABLOOMS_SEED,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-block gather fallback for severely length-skewed batches:
+    work tracks total bytes (each block round gathers only the rows
+    that have that block), at the cost of a fancy 16-byte gather per
+    round. Bit-identical to the padded path (property-tested)."""
+    n = len(lengths)
     nblocks = lengths >> 4
 
     with np.errstate(over="ignore"):
@@ -144,7 +309,8 @@ def murmur3_x64_128_buffer(
             h2_s[:cnt] = h2_s[:cnt] * np.uint64(5) + np.uint64(0x38495AB5)
 
         # Tail (len & 15 trailing bytes), zero-padded to 16 — equivalent
-        # to the canonical byte-switch since absent bytes contribute 0.
+        # to the canonical byte-by-byte tail switch because missing
+        # bytes contribute zero.
         tail_len_s = (lengths[order] & 15).astype(np.int64)
         tails = np.zeros((n, 16), dtype=np.uint8)
         has_tail = tail_len_s > 0

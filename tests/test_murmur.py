@@ -95,3 +95,40 @@ def test_km_indexes_match_slow_oracle():
     assert idx.shape == (3, nfuncs)
     idx2 = km_expand(h1, h2, nfuncs, cpf)
     assert np.array_equal(idx, idx2)
+
+
+def test_padded_layout_edge_cases_match_scalar():
+    """The padded-matrix kernel (one-shot scatter + column slices) must
+    be bit-identical to the canonical scalar transcription across its
+    special cases: empty keys, tail-only rows, a max-length row that is
+    an exact 16-multiple while other rows carry tails (the tail-word
+    column-clamp path), and fixed-length contiguous batches."""
+    from dablooms_spark.functions.murmur import murmur3_x64_128_scalar
+
+    batches = [
+        [b"", b"a", b"0123456789abcdef", b"0123456789abcde"],
+        [b"x" * 32, b"y" * 17, b"z" * 3, b"w" * 16],      # 16-mult max + tails
+        [b"fixedlen" * 3] * 5,                              # fixed-length path
+        [bytes([i % 256]) * (i * 7 % 61) for i in range(200)],
+    ]
+    for keys in batches:
+        o1, o2 = murmur3_x64_128(keys)
+        for i, k in enumerate(keys):
+            s1, s2 = murmur3_x64_128_scalar(k)
+            assert int(o1[i]) == s1 and int(o2[i]) == s2, (keys, i)
+
+
+def test_gather_fallback_matches_padded():
+    """Severely length-skewed batches fall back to the per-block gather
+    path; both paths must agree bit-for-bit."""
+    import dablooms_spark.functions.murmur as M
+
+    keys = [b"short", b"L" * 5000, b"", b"mid" * 7]
+    p1, p2 = M.murmur3_x64_128(keys)
+    saved = M._PAD_MATRIX_MAX_BYTES
+    try:
+        M._PAD_MATRIX_MAX_BYTES = 1
+        g1, g2 = M.murmur3_x64_128(keys)
+    finally:
+        M._PAD_MATRIX_MAX_BYTES = saved
+    assert np.array_equal(p1, g1) and np.array_equal(p2, g2)

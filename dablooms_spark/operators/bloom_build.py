@@ -307,6 +307,57 @@ def _chunked_counting_merge(
     )
 
 
+def _driver_merge_max_bytes(spark) -> int:
+    """Catalyst-estimated input ceiling under which a build's sparse
+    pieces are collected and merged DRIVER-SIDE instead of through a
+    groupBy exchange (spark.dablooms.build.driverMergeMaxBytes, size
+    string, default 32 MiB; '0' disables). Profiled on this harness: a
+    piece exchange + applyInPandas stage costs ~1.5 s wall regardless
+    of volume at small scale, while the driver fold of a few MB of
+    pieces is ~50 ms. Above the ceiling the distributed merge keeps
+    the driver out of the data path (guide §5)."""
+    from dablooms_spark.operators.bloom_probe import _parse_size_bytes
+
+    try:
+        return _parse_size_bytes(
+            spark.conf.get("spark.dablooms.build.driverMergeMaxBytes", "32m")
+        )
+    except Exception:
+        return 32 << 20
+
+
+def _est_plan_bytes(df: DataFrame) -> int | None:
+    """Catalyst's optimized-plan size estimate, or None."""
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return None
+
+
+def _driver_counting_merge(
+    pieces: DataFrame, capacity: int, error_rate: float, seed: int, num_chunks: int
+) -> CountingBloom:
+    """Driver-side fold of the chunked build's sparse pieces — the
+    small-input twin of _chunked_counting_merge: one collect, one
+    np.add.at pass, bit-identical result (min(15, Σ min(15, tᵢ)) ==
+    min(15, Σ tᵢ), the documented piece-boundary invariance)."""
+    g = BloomGeometry(capacity, error_rate)
+    bounds = np.linspace(0, g.size, num_chunks + 1).astype(np.int64)
+    acc = np.zeros(g.size, dtype=np.int32)
+    total = 0
+    for r in pieces.collect():
+        idx = _delta_decode(r.idx, r.exc) + bounds[r.chunk]
+        np.add.at(acc, idx, np.frombuffer(r.vals, dtype=np.uint8).astype(np.int32))
+        total += r.n
+    np.clip(acc, 0, 15, out=acc)
+    return CountingBloom(
+        capacity, error_rate, seed=seed, _counters=acc.astype(np.uint8),
+        _count=total,
+    )
+
+
 def counting_bloom_partials(
     df: DataFrame,
     key_col: str,
@@ -374,20 +425,39 @@ def build_counting_bloom(
     if on_overflow not in ("saturate", "error"):
         raise ValueError("on_overflow must be 'saturate' or 'error'")
     # SCALE-ADAPTIVE stage-1 parallelism (guide §2.5 input skew /
-    # §6 split size): parquet splits at row-group granularity, so a
-    # small input (one fat row group) runs the whole hash+expand stage
-    # on ONE core no matter the cluster. When the (narrow) input plan
-    # has fewer partitions than cores, repartition the PROJECTED key
-    # column — a few bytes per row, never the payload — across the
-    # cores. At real scale inputs have >> cores partitions and this is
-    # a no-op; the filter is bit-identical under any partitioning
-    # (saturating counter-sum merge, property-tested).
+    # §6 split size): parquet splits at row-group granularity, so an
+    # input written as few fat row groups hash+expands on fewer cores
+    # than the cluster has. When the (narrow) input plan has fewer
+    # partitions than cores AND is big enough that per-task compute
+    # dwarfs an exchange (spark.dablooms.build.fanoutMinBytes, default
+    # 256 MiB of Catalyst-estimated input), repartition the PROJECTED
+    # key column — a few bytes per row, never the payload — across the
+    # cores. The size gate matters: an interleaved A/B showed the
+    # ungated version costs small builds ~25-35% (two extra stages
+    # on a box where a stage round-trip is ~0.2 s) while small inputs
+    # have nothing to gain from fan-out. At real scale inputs carry
+    # >> cores partitions and this is a no-op either way; the filter
+    # is bit-identical under any partitioning (saturating counter-sum
+    # merge, property-tested).
     auto_parts = None
     if num_build_partitions is None:
-        dp = df.sparkSession.sparkContext.defaultParallelism
+        spark = df.sparkSession
+        dp = spark.sparkContext.defaultParallelism
         np_ = _static_num_partitions(df)
         if np_ is not None and 0 < np_ < dp:
-            auto_parts = dp
+            from dablooms_spark.operators.bloom_probe import _parse_size_bytes
+
+            try:
+                min_bytes = _parse_size_bytes(
+                    spark.conf.get("spark.dablooms.build.fanoutMinBytes", "256m")
+                )
+                est = int(
+                    df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+                )
+            except Exception:
+                min_bytes, est = 1, 0
+            if est >= min_bytes:
+                auto_parts = dp
     g = BloomGeometry(capacity, error_rate)
     if g.size > 2_000_000:
         if on_overflow == "error":
@@ -404,6 +474,12 @@ def build_counting_bloom(
         # parallelism, no multi-round tree, no fat blobs to the driver
         num_chunks = max(df.sparkSession.sparkContext.defaultParallelism, 16)
         pieces = _chunk_pieces_build(sdf, capacity, error_rate, seed, num_chunks)
+        # small inputs skip the piece exchange entirely: collect the
+        # sparse pieces and fold driver-side (bit-identical; see
+        # _driver_merge_max_bytes for the measured stage cost)
+        est = _est_plan_bytes(df)
+        if est is not None and 0 <= est <= _driver_merge_max_bytes(df.sparkSession):
+            return _driver_counting_merge(pieces, capacity, error_rate, seed, num_chunks)
         return _chunked_counting_merge(pieces, capacity, error_rate, seed, num_chunks)
     blob_df = counting_bloom_partials(
         df, key_col, capacity, error_rate, seed,
@@ -603,6 +679,7 @@ def scaling_bloom_fixed_partials(
     seed: int = DABLOOMS_SEED,
     expected_layers: int | None = None,
     dense_piece_frac: float | None = 0.5,
+    as_pieces: bool = False,
 ) -> DataFrame:
     """Scaling-bloom build with FIXED id-value layer boundaries — the
     no-shuffle topology for dense insertion-sequence ids (the
@@ -659,6 +736,11 @@ def scaling_bloom_fixed_partials(
     dense_piece_frac·size elements) so a full layer emits as ONE
     dense piece instead of sparse slivers. ``None`` disables dense
     pieces and hold-back entirely (the pre-optimization code path).
+
+    as_pieces=True returns the RAW piece DataFrame (stage 1 only, no
+    exchange) — consumed by build_scaling_bloom's small-input
+    driver-side merge, which folds the pieces without the groupBy
+    stage (bit-identical by the piece-boundary invariance above).
     """
     from dablooms_spark.core.codec import delta_decode, delta_encode
 
@@ -824,6 +906,8 @@ def scaling_bloom_fixed_partials(
         piece_stage,
         schema="layer long, idx binary, exc binary, vals binary, n long, max_id long",
     )
+    if as_pieces:
+        return pieces
 
     def merge_layer(pdf):
         import pandas as pd
@@ -971,6 +1055,54 @@ def merge_layer_rows(layers_df: DataFrame, seed: int = DABLOOMS_SEED) -> DataFra
     )
 
 
+def _driver_scaling_merge(
+    piece_rows,
+    capacity: int,
+    error_rate: float,
+    seed: int,
+    expected_layers: int | None,
+) -> ScalingBloom:
+    """Driver-side fold of fixed-boundary scaling pieces — the
+    small-input twin of the groupBy(layer) merge in
+    scaling_bloom_fixed_partials: same per-layer geometry, same
+    sum-then-clip counter math (bit-identical by the piece-boundary
+    invariance), same layer rows, assembled directly."""
+    from dablooms_spark.core.codec import delta_decode
+
+    width = max(capacity - 1, 1)
+    by_layer: dict[int, list] = {}
+    for r in piece_rows:
+        by_layer.setdefault(int(r.layer), []).append(r)
+    layers = []
+    max_id = 0
+    for li in sorted(by_layer):
+        g = BloomGeometry(
+            capacity, fixed_layer_eps(li, error_rate, expected_layers)
+        )
+        acc = np.zeros(g.size, dtype=np.int32)
+        n = 0
+        for r in by_layer[li]:
+            if len(r.idx) == 0:
+                acc += np.frombuffer(r.vals, dtype=np.uint8)
+            else:
+                np.add.at(
+                    acc, delta_decode(r.idx, r.exc),
+                    np.frombuffer(r.vals, dtype=np.uint8).astype(np.int32),
+                )
+            n += r.n
+            max_id = max(max_id, int(r.max_id))
+        np.clip(acc, 0, 15, out=acc)
+        layers.append(
+            CountingBloom(
+                capacity, g.error_rate, first_id=li * width, seed=seed,
+                _counters=acc.astype(np.uint8), _count=n,
+            )
+        )
+    return ScalingBloom(
+        capacity, error_rate, seed=seed, layers=layers, max_id=max_id
+    )
+
+
 def assemble_scaling_bloom(rows, seed: int = DABLOOMS_SEED) -> ScalingBloom:
     """Driver-side ScalingBloom from collected layer rows
     (_LAYER_SCHEMA; canonical order first_id asc, eps desc — matching
@@ -1031,6 +1163,20 @@ def build_scaling_bloom(
     layer-row checkpoint write when the filter is too big to
     collect."""
     if id_layout == "dense":
+        est = _est_plan_bytes(df)
+        if est is not None and 0 <= est <= _driver_merge_max_bytes(df.sparkSession):
+            # small input: collect stage-1 pieces and fold driver-side,
+            # skipping the groupBy(layer) exchange + pandas stage —
+            # bit-identical (piece-boundary invariance)
+            pieces = scaling_bloom_fixed_partials(
+                df, key_col, id_col, capacity, error_rate, seed,
+                expected_layers=expected_layers, as_pieces=True,
+            ).collect()
+            if not pieces:
+                return ScalingBloom(capacity, error_rate, seed=seed)
+            return _driver_scaling_merge(
+                pieces, capacity, error_rate, seed, expected_layers
+            )
         rows = scaling_bloom_fixed_partials(
             df, key_col, id_col, capacity, error_rate, seed,
             expected_layers=expected_layers,

@@ -731,3 +731,43 @@ def test_fixed_partials_uniform_schedule_membership(spark, tmp_path):
             df, "key", "id", capacity=2_000, error_rate=0.05,
             id_layout="range", expected_layers=L,
         )
+
+
+def test_driver_merge_routing_bit_identical(spark):
+    """Small inputs route the wide counting build and the dense scaling
+    build through a driver-side piece fold (no merge exchange); the
+    resulting filter must be bit-identical to the distributed merge
+    (piece-boundary invariance: min(15, sum(min(15, t))) == min(15,
+    sum(t)))."""
+    import numpy as _np
+    from pyspark.sql import functions as F
+
+    from dablooms_spark.operators import build_counting_bloom, build_scaling_bloom
+
+    df = spark.range(0, 30_000, 1, 5).select(
+        F.concat_ws(":", F.col("id"), F.lit("x")).alias("key"),
+        F.col("id").alias("id"),
+    )
+    # capacity chosen to cross the wide-filter (chunked) threshold
+    drv = build_counting_bloom(df, "key", capacity=300_000, error_rate=0.01)
+    spark.conf.set("spark.dablooms.build.driverMergeMaxBytes", "0")
+    try:
+        dist = build_counting_bloom(df, "key", capacity=300_000, error_rate=0.01)
+    finally:
+        spark.conf.unset("spark.dablooms.build.driverMergeMaxBytes")
+    assert drv.count == dist.count == 30_000
+    assert _np.array_equal(drv.counters, dist.counters)
+
+    sdrv = build_scaling_bloom(
+        df, "key", "id", capacity=8_000, error_rate=0.02,
+        id_layout="dense", expected_layers=4,
+    )
+    spark.conf.set("spark.dablooms.build.driverMergeMaxBytes", "0")
+    try:
+        sdist = build_scaling_bloom(
+            df, "key", "id", capacity=8_000, error_rate=0.02,
+            id_layout="dense", expected_layers=4,
+        )
+    finally:
+        spark.conf.unset("spark.dablooms.build.driverMergeMaxBytes")
+    assert sdrv.to_bytes() == sdist.to_bytes()

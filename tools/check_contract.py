@@ -54,6 +54,38 @@ def _norm(v):
     return str(v)
 
 
+def _norm_lines(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted("|".join(_norm(r[i]) for i in order) for r in rows)
+
+
+def dump_hash_diff(name, srows, scols, orows, ocols, limit=20):
+    """Self-diagnosing hash mismatch (VERDICT r5 item 1): print the
+    first `limit` normalized lines present on only one side, so a
+    driver-side failure identifies the differing VALUES instead of
+    just a hash pair. Sorted-merge over the two sorted line lists —
+    no quadratic set work on big results."""
+    sl, ol = _norm_lines(srows, scols), _norm_lines(orows, ocols)
+    i = j = shown = 0
+    print(f"{name}: hash diff (spark-only '<', oracle-only '>'):")
+    while (i < len(sl) or j < len(ol)) and shown < limit:
+        a = sl[i] if i < len(sl) else None
+        b = ol[j] if j < len(ol) else None
+        if a == b:
+            i += 1
+            j += 1
+            continue
+        if b is None or (a is not None and a < b):
+            print(f"  < {a}")
+            i += 1
+        elif a is None or b < a:
+            print(f"  > {b}")
+            j += 1
+        shown += 1
+    if shown == limit:
+        print("  ... (diff truncated)")
+
+
 def main():
     spark = (
         SparkSession.builder.master("local[8]")
@@ -133,6 +165,8 @@ def main():
             f"{name}: {status} rows {len(srows)}/{len(orows)} "
             f"schema {sorted(scols)}=={sorted(ocols)}:{ok_schema} hash {sh}/{oh}"
         )
+        if ok_schema and not ok_hash:
+            dump_hash_diff(name, srows, scols, orows, ocols)
     out = os.environ.get("CONTRACT_OUT")
     if out:
         with open(out, "w") as f:

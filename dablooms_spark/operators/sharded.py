@@ -207,6 +207,32 @@ def build_sharded_counting_bloom(
 
     partials = sdf.mapInArrow(build_partials, schema="shard long, blob binary, n long")
 
+    # Small inputs skip the blob exchange + pandas merge stage: collect
+    # the per-(partition, shard) partial blobs (one map-only job) and
+    # counter-sum them driver-side — bit-identical (the merge is an
+    # order-invariant saturating counter sum) and gated on the same
+    # Catalyst-estimate ceiling as the other driver merges.
+    from dablooms_spark.operators.bloom_build import (
+        _driver_merge_max_bytes,
+        _est_plan_bytes,
+    )
+
+    spark = df.sparkSession
+    est = _est_plan_bytes(sdf)
+    if est is not None and 0 <= est <= _driver_merge_max_bytes(spark):
+        by_shard: dict[int, list[bytes]] = {}
+        counts: dict[int, int] = {}
+        for r in partials.collect():
+            by_shard.setdefault(int(r.shard), []).append(bytes(r.blob))
+            counts[int(r.shard)] = counts.get(int(r.shard), 0) + int(r.n)
+        data = []
+        for s in sorted(by_shard):
+            merged = CountingBloom.merge_blobs(by_shard[s], seed=seed)
+            data.append((s, bytearray(merged.to_bytes()), counts[s]))
+        return spark.createDataFrame(
+            data, schema="shard long, blob binary, n long"
+        )
+
     def merge_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         merged = CountingBloom.merge_blobs([bytes(b) for b in pdf.blob], seed=seed)
         return pd.DataFrame(

@@ -266,6 +266,50 @@ def build_sharded_scaling_layers(
     pieces = _pieces_df(df, key_col, id_col, capacity, error_rate,
                         num_shards, seed, expected_layers)
 
+    # Small inputs skip the piece exchange + pandas merge stage:
+    # collect the per-(partition, shard, layer) sparse pieces (one
+    # map-only job) and counter-sum them driver-side with the SAME
+    # per-layer geometry math — bit-identical (piece-boundary
+    # invariance), gated on the Catalyst-estimate ceiling shared with
+    # the other driver merges. The layer rows stay a DataFrame either
+    # way (here a local relation).
+    from dablooms_spark.core.codec import delta_decode as _dd
+    from dablooms_spark.operators.bloom_build import (
+        _driver_merge_max_bytes,
+        _est_plan_bytes,
+    )
+
+    spark = df.sparkSession
+    est = _est_plan_bytes(df)
+    if est is not None and 0 <= est <= _driver_merge_max_bytes(spark):
+        groups: dict[tuple[int, int], list] = {}
+        for r in pieces.collect():
+            groups.setdefault((int(r.shard), int(r.layer)), []).append(r)
+        data = []
+        for (s, li) in sorted(groups):
+            g = _layer_geom(li, capacity, error_rate, geom_cache,
+                            expected_layers)
+            acc = np.zeros(g.size, dtype=np.int32)
+            n = 0
+            max_id = 0
+            for r in groups[(s, li)]:
+                np.add.at(
+                    acc, _dd(r.idx, r.exc),
+                    np.frombuffer(r.vals, dtype=np.uint8).astype(np.int32),
+                )
+                n += int(r.n)
+                max_id = max(max_id, int(r.max_id))
+            np.clip(acc, 0, 15, out=acc)
+            cb = CountingBloom(
+                g.capacity, g.error_rate, first_id=li * width, seed=seed,
+                _counters=acc.astype(np.uint8), _count=n,
+            )
+            data.append(
+                (s, li * width, g.error_rate, capacity, max_id, error_rate,
+                 bytearray(cb.to_bytes()), cb.count, num_shards)
+            )
+        return spark.createDataFrame(data, schema=_ROW_SCHEMA)
+
     def merge_layer(pdf: pd.DataFrame) -> pd.DataFrame:
         s = int(pdf["shard"].iloc[0])
         li = int(pdf["layer"].iloc[0])

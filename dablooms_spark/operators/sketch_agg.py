@@ -315,6 +315,36 @@ def _grouped_merge_finalize(
 
     partials = sdf.mapInArrow(build, schema="g string, blob binary, n long")
 
+    # Small inputs skip the groupBy exchange + second pandas stage
+    # entirely: collect the per-(partition, group) partial blobs (one
+    # map-only job) and fold + finalize driver-side. Gated on the same
+    # Catalyst-estimate ceiling as the build driver merges
+    # (spark.dablooms.build.driverMergeMaxBytes): collected bytes are
+    # bounded by partitions x groups x blob size, which only threatens
+    # the driver when the input itself is large. Results identical —
+    # all sketches here merge associatively, and the per-group fold
+    # order was already shuffle-arrival order (arbitrary) before.
+    from dablooms_spark.operators.bloom_build import (
+        _driver_merge_max_bytes,
+        _est_plan_bytes,
+    )
+
+    spark = df.sparkSession
+    est = _est_plan_bytes(sdf)
+    if est is not None and 0 <= est <= _driver_merge_max_bytes(spark):
+        merged: dict[str, object] = {}
+        for r in partials.collect():
+            sk = _loads_any(r.blob)
+            prev = merged.get(r.g)
+            merged[r.g] = sk if prev is None else prev.merge(sk)
+        if not merged:
+            return spark.createDataFrame([], schema=out_schema)
+        out = pd.concat(
+            [finalize(g, merged[g]) for g in sorted(merged)],
+            ignore_index=True,
+        )
+        return spark.createDataFrame(out, schema=out_schema)
+
     def merge_finalize(pdf: pd.DataFrame) -> pd.DataFrame:
         sk = _loads_any(pdf.blob.iloc[0])
         for b in pdf.blob.iloc[1:]:

@@ -249,12 +249,19 @@ def test_checkpoint_roundtrip_sharded_layers(spark, tmp_path):
 def test_build_plan_is_piece_only(spark):
     """The build's only Exchange moves pieces, never rows: the row
     side of the plan is scan -> project -> python map; no Sort
-    anywhere (fixed boundaries need no ordering)."""
+    anywhere (fixed boundaries need no ordering). Forces the
+    distributed merge path — small inputs would otherwise take the
+    driver fold, which has no exchange at all (asserted bit-identical
+    in test_driver_fold_matches_distributed)."""
     rows = _rows(spark, n=2_000)
-    layers = build_sharded_scaling_layers(
-        rows, "k", "id", capacity=CAP, error_rate=EPS, num_shards=SHARDS
-    )
-    plan = layers._jdf.queryExecution().executedPlan().toString()
+    spark.conf.set("spark.dablooms.build.driverMergeMaxBytes", "0")
+    try:
+        layers = build_sharded_scaling_layers(
+            rows, "k", "id", capacity=CAP, error_rate=EPS, num_shards=SHARDS
+        )
+        plan = layers._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset("spark.dablooms.build.driverMergeMaxBytes")
     assert plan.count("Exchange") == 1, plan
     # the only Sort sits ABOVE the piece exchange (applyInPandas
     # grouping over piece rows); the row side below the exchange —
@@ -446,3 +453,51 @@ def test_merge_layer_eps_drift_raises(spark):
     )
     merged = merge_sharded_layer_rows(b.unionByName(c))
     assert merged.count() == b.count()
+
+
+def test_driver_fold_matches_distributed(spark):
+    """Small inputs build the layer rows via a driver-side piece fold
+    (no exchange); the rows must be bit-identical to the distributed
+    groupBy merge — same blobs, same counts, same geometry columns."""
+    rows = _rows(spark, n=10_000)
+    drv = build_sharded_scaling_layers(
+        rows, "k", "id", capacity=CAP, error_rate=EPS, num_shards=SHARDS
+    ).collect()
+    spark.conf.set("spark.dablooms.build.driverMergeMaxBytes", "0")
+    try:
+        dist = build_sharded_scaling_layers(
+            rows, "k", "id", capacity=CAP, error_rate=EPS, num_shards=SHARDS
+        ).collect()
+    finally:
+        spark.conf.unset("spark.dablooms.build.driverMergeMaxBytes")
+    key = lambda r: (r.shard, r.first_id)
+    a = {key(r): r for r in drv}
+    b = {key(r): r for r in dist}
+    assert set(a) == set(b)
+    for k in a:
+        assert bytes(a[k].blob) == bytes(b[k].blob), k
+        for col in ("layer_eps", "capacity", "max_id", "sb_eps", "n", "num_shards"):
+            assert a[k][col] == b[k][col], (k, col)
+
+
+def test_counting_driver_fold_matches_distributed(spark):
+    """Sharded COUNTING twin of the above."""
+    from dablooms_spark.operators.sharded import build_sharded_counting_bloom
+
+    rows = _rows(spark, n=10_000)
+    drv = build_sharded_counting_bloom(
+        rows, "k", capacity=8_000, error_rate=0.02, num_shards=SHARDS
+    ).collect()
+    spark.conf.set("spark.dablooms.build.driverMergeMaxBytes", "0")
+    try:
+        dist = build_sharded_counting_bloom(
+            rows, "k", capacity=8_000, error_rate=0.02, num_shards=SHARDS
+        ).collect()
+    finally:
+        spark.conf.unset("spark.dablooms.build.driverMergeMaxBytes")
+    a = {r.shard: r for r in drv}
+    b = {r.shard: r for r in dist}
+    assert set(a) == set(b)
+    for s in a:
+        assert bytes(a[s].blob) == bytes(b[s].blob), s
+        assert a[s].n == b[s].n

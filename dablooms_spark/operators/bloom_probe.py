@@ -150,7 +150,7 @@ def bloom_semi_join(
     if exact_df is not None:
         ek = exact_key or key_col
         out = out.join(
-            exact_df.select(F.col(ek).alias("__ek")).distinct(),
+            _semi_dim(exact_df, ek),
             on=F.col(key_col) == F.col("__ek"),
             how="left_semi",
         )
@@ -181,7 +181,7 @@ def bloom_anti_join(
     if exact_df is None:
         return misses
     ek = exact_key or key_col
-    dim = exact_df.select(F.col(ek).alias("__ek")).distinct()
+    dim = _semi_dim(exact_df, ek)
     candidates = out.filter(F.col("__bloom_hit")).drop("__bloom_hit")
     confirmed_absent = candidates.join(
         dim, on=F.col(key_col) == F.col("__ek"), how="left_anti"
@@ -200,6 +200,30 @@ def _parse_size_bytes(v: str) -> int:
             mult = m
             break
     return int(float(s)) * mult
+
+
+def _semi_dim(exact_df: DataFrame, ek: str):
+    """Build side for the exact LEFT SEMI/ANTI confirm join.
+
+    Semi/anti joins are insensitive to build-side duplicates, so the
+    distinct() is ONLY worth its Exchange + aggregate when the dim is
+    too big to broadcast (there, dedup shrinks the join shuffle).
+    Dims under spark.sql.autoBroadcastJoinThreshold skip it and
+    broadcast directly — one stage fewer, identical results."""
+    dim = exact_df.select(F.col(ek).alias("__ek"))
+    spark = exact_df.sparkSession
+    try:
+        thr = _parse_size_bytes(
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10m")
+        )
+        est = int(
+            dim._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        thr, est = 0, 1
+    if 0 <= est <= thr:
+        return F.broadcast(dim)
+    return dim.distinct()
 
 
 _INTEGRAL_TYPES = ("byte", "short", "integer", "long")
@@ -307,7 +331,9 @@ def _auto_runtime_join(
             "strategy='shuffle'/'broadcast'."
         )
     if strategy == "broadcast":
-        out = probe_df.join(F.broadcast(dimsel.distinct()), cond, how)
+        # semi/anti joins are duplicate-insensitive on the build side:
+        # broadcast the raw keys, skip the distinct Exchange
+        out = probe_df.join(F.broadcast(dimsel), cond, how)
     elif strategy in ("bloom", "sharded"):
         if n_keys is None:
             n_keys = _approx_n_keys(dim_keys, dk)

@@ -419,8 +419,10 @@ def sharded_semi_join(
     out = out.filter(F.col("__hit")).drop("__hit")
     if exact_df is not None:
         ek = exact_key or key_col
+        from dablooms_spark.operators.bloom_probe import _semi_dim
+
         out = out.join(
-            exact_df.select(F.col(ek).alias("__ek")).distinct(),
+            _semi_dim(exact_df, ek),
             on=F.col(key_col) == F.col("__ek"),
             how="left_semi",
         )
@@ -449,7 +451,9 @@ def sharded_anti_join(
     if exact_df is None:
         return misses
     ek = exact_key or key_col
-    dim = exact_df.select(F.col(ek).alias("__ek")).distinct()
+    from dablooms_spark.operators.bloom_probe import _semi_dim
+
+    dim = _semi_dim(exact_df, ek)
     candidates = out.filter(F.col("__hit")).drop("__hit")
     confirmed_absent = candidates.join(
         dim, on=F.col(key_col) == F.col("__ek"), how="left_anti"

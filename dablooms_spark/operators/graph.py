@@ -57,26 +57,29 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        # the convergence flag is computable INSIDE the round (a label
+        # changes iff some neighbor label is strictly smaller), so the
+        # old separate new-vs-old join — one more shuffle per round —
+        # is unnecessary; the count below reads the checkpointed round
+        new_full = (
             labels.join(nbr_min, "node", "left")
             .select(
                 "node",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
+                (
+                    F.coalesce(F.col("nbr_label"), F.col("label"))
+                    < F.col("label")
+                ).alias("__changed"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        changed = new_full.filter(F.col("__changed")).count()
         # the previous round's checkpoint blocks are dead once the new
         # round is materialized and compared — free them (best-effort)
         labels.unpersist()
-        labels = new_labels
+        labels = new_full.drop("__changed")
         if changed == 0:
             break
     else:

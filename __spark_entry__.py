@@ -1750,7 +1750,39 @@ def _q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Dict ORDER is rotated this round (same 75 queries, same
+    # semantics): the driver's correctness snapshot truncates at 50
+    # entries, and the 25 queries below were present in every round's
+    # full-contract artifact but never inside a driver snapshot —
+    # leading with them (then the r5 head, so session_stats_events
+    # stays inside the window too) makes the r5+r6 driver-row union
+    # cover all 75.
     return {
+        "ngram_jaccard_docs": _q_ngram_jaccard,
+        "embedding_neardup_pairs": _q_embedding_neardup,
+        "ann_cosine_topk": _q_ann_cosine_topk,
+        "lsh_ann_topk": _q_lsh_ann_topk,
+        "media_meta_docs": _q_media_meta,
+        "media_features_docs": _q_media_features,
+        "window_top_event": _q_window_top_event,
+        "rollup_event_counts": _q_rollup_event_counts,
+        "set_ops_users": _q_set_ops_users,
+        "hourly_value_stats": _q_hourly_value_stats,
+        "hll_rollup_distinct": _q_hll_rollup,
+        "rollup_distinct_exact": _q_rollup_distinct_exact,
+        "ivf_ann_topk": _q_ivf_ann_topk,
+        "salted_user_counts": _q_salted_user_counts,
+        "theta_set_counts": _q_theta_set_counts,
+        "theta_kmv_set_counts": _q_theta_kmv_set_counts,
+        "cap_per_source_docs": _q_cap_per_source,
+        "stratified_sample_docs": _q_stratified_sample,
+        "pii_redacted_docs": _q_pii_redacted,
+        "normalized_text_docs": _q_normalized_text,
+        "keep_best_docs": _q_keep_best_docs,
+        "vocab_top_terms": _q_vocab_top_terms,
+        "pack_sequences_docs": _q_pack_sequences,
+        "inverted_index_docs": _q_inverted_index,
+        "corpus_pipeline_docs": _q_corpus_pipeline,
         "bloom_semi_join_orders": _q_bloom_semi_join_orders,
         "auto_semi_join_lineitem": _q_auto_semi_join_lineitem,
         "sharded_semi_join_orders": _q_sharded_semi_join_orders,
@@ -1801,31 +1833,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_docs": _q_exact_dedup,
         "minhash_dedup_pairs": _q_minhash_dedup_pairs,
         "simhash_pairs": _q_simhash_pairs,
-        "ngram_jaccard_docs": _q_ngram_jaccard,
-        "embedding_neardup_pairs": _q_embedding_neardup,
-        "ann_cosine_topk": _q_ann_cosine_topk,
-        "lsh_ann_topk": _q_lsh_ann_topk,
-        "media_meta_docs": _q_media_meta,
-        "media_features_docs": _q_media_features,
-        "window_top_event": _q_window_top_event,
-        "rollup_event_counts": _q_rollup_event_counts,
-        "set_ops_users": _q_set_ops_users,
-        "hourly_value_stats": _q_hourly_value_stats,
-        "hll_rollup_distinct": _q_hll_rollup,
-        "rollup_distinct_exact": _q_rollup_distinct_exact,
-        "ivf_ann_topk": _q_ivf_ann_topk,
-        "salted_user_counts": _q_salted_user_counts,
-        "theta_set_counts": _q_theta_set_counts,
-        "theta_kmv_set_counts": _q_theta_kmv_set_counts,
-        "cap_per_source_docs": _q_cap_per_source,
-        "stratified_sample_docs": _q_stratified_sample,
-        "pii_redacted_docs": _q_pii_redacted,
-        "normalized_text_docs": _q_normalized_text,
-        "keep_best_docs": _q_keep_best_docs,
-        "vocab_top_terms": _q_vocab_top_terms,
-        "pack_sequences_docs": _q_pack_sequences,
-        "inverted_index_docs": _q_inverted_index,
-        "corpus_pipeline_docs": _q_corpus_pipeline,
     }
 
 

@@ -20,11 +20,14 @@ the @2 times stayed in historical range — 8 requested cores yielded
 ~2 effective). Such windows measure the host, not the code. So with
 SCALING_CONTROL=1 each pair is bracketed by a scan-only control
 (bench_scan_probe's parquet text scan, same corpus, both levels,
-1 trial each) and carries the control's own 2->8 efficiency.
-PRE-REGISTERED validity criterion (set before collecting): a window
-is valid iff control_eff >= 0.8 — i.e. the host demonstrably
-delivered the cores to a job with no shuffle, no Python, no sketch
-(the historical quiet-window control reads 0.883). The headline is
+best-of-N trials per level — N from SCALING_CONTROL_TRIALS, default
+2; see the protocol-v3 note in scan_control for why 1-trial controls
+were retired) and carries the control's own 2->8 efficiency; with
+SCALING_CONTROL_CLOSE=1 a second control closes the window and BOTH
+brackets must pass (the double-bracket gate). Validity criterion: a
+window is valid iff its bracket control(s) scale >= 0.8 — i.e. the
+host demonstrably delivered the cores to a job with no shuffle, no
+Python, no sketch (the historical quiet-window control reads 0.883). The headline is
 the median job quotient over VALID pairs; invalid pairs stay in the
 ledger.
 
@@ -61,7 +64,7 @@ EVIDENCE = os.environ.get(
 )
 
 
-def scan_control(levels, data_dir: str, wpath: str) -> dict:
+def scan_control(levels, data_dir: str, wpath: str, trials: str = "2") -> dict:
     """Best-of-N scan-probe trials per level (N from
     SCALING_CONTROL_TRIALS, default 2); returns {level: sec, 'eff': e}.
 
@@ -76,15 +79,14 @@ def scan_control(levels, data_dir: str, wpath: str) -> dict:
     rule was pre-registered to measure is steady-state core delivery,
     not JVM cold-start); records from runs <=9-pair-2 keep their
     1-trial controls and stand as ledgered."""
-    trials = os.environ.get("SCALING_CONTROL_TRIALS", "2")
     spark_submit = shutil.which("spark-submit")
     out = {}
     for c in levels:
         cmd = (
             [spark_submit, "--master", f"local[{c}]",
-             "--driver-memory", "16g", wpath, str(c), data_dir, trials]
+             "--driver-memory", "16g", wpath, str(c), data_dir, str(trials)]
             if spark_submit
-            else [sys.executable, wpath, str(c), data_dir, trials]
+            else [sys.executable, wpath, str(c), data_dir, str(trials)]
         )
         r = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
         for line in r.stdout.splitlines():
@@ -112,6 +114,10 @@ def main():
     os.environ["SCALING_TRIALS"] = os.environ.get("SCALING_PAIR_TRIALS", "1")
 
     control = os.environ.get("SCALING_CONTROL") == "1"
+    # parse ONCE at startup (ADVICE r5): a malformed value must fail
+    # before any expensive probe runs, and the recorded trials count
+    # must be exactly what scan_control used
+    ctl_trials = int(os.environ.get("SCALING_CONTROL_TRIALS", "2"))
     wpath = None
     if control:
         wpath = os.path.join(
@@ -130,11 +136,9 @@ def main():
         order = [lo, hi] if i % 2 == 0 else [hi, lo]
         rec = {"pair": i, "order": order, "rows": n_rows, "job": job}
         if control:
-            ctl = scan_control([lo, hi], data_dir, wpath)
+            ctl = scan_control([lo, hi], data_dir, wpath, ctl_trials)
             rec["control"] = ctl
-            rec["ctl_trials"] = int(
-                os.environ.get("SCALING_CONTROL_TRIALS", "2")
-            )
+            rec["ctl_trials"] = ctl_trials
         t: dict[str, dict[int, float]] = {j: {} for j in jobs}
         for cores in order:
             r = run_level(cores, n_rows, partitions, zpath, worker)
@@ -167,7 +171,7 @@ def main():
             # brackets scale >= 0.8 — the host demonstrably delivered
             # cores at the window's start AND end.
             if os.environ.get("SCALING_CONTROL_CLOSE") == "1":
-                ctl_close = scan_control([lo, hi], data_dir, wpath)
+                ctl_close = scan_control([lo, hi], data_dir, wpath, ctl_trials)
                 rec["control_close"] = ctl_close
                 rec["window_valid"] = bool(
                     ctl.get("eff", 0) >= 0.8

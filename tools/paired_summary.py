@@ -1,9 +1,12 @@
 """Summarize the paired scaling-evidence ledger
 (BENCH/paired_evidence.jsonl by default, or argv[1]).
 
-Prints: all pairs; valid-window subset (control eff >= 0.8,
-pre-registered); medians; job/control ratios. Used to curate
-BENCH/BASELINE.md at session end.
+Prints: all pairs; valid-window subset; medians; job/control
+ratios. Validity is PER RECORD, the rule each record was collected
+under: records carrying a window_valid flag use it verbatim (the
+double- or single-bracket gate active at collection time); records
+without the flag fall back to opening-control eff >= 0.8. Used to
+curate BENCH/BASELINE.md at session end.
 """
 
 import json
@@ -24,10 +27,11 @@ for r in rows:
     q = r["quotient"]
     all_q.append(q)
     ctl = r.get("control", {}).get("eff")
-    # validity = the rule the record was COLLECTED under: double-
-    # bracketed records (run 6+) carry window_valid (both brackets
-    # must scale >= 0.8); earlier single-bracket records use the
-    # opening control alone
+    # validity = the rule the record was COLLECTED under: any record
+    # carrying window_valid (all control-bracketed records, from run 1
+    # on — single- OR double-bracket gate, whichever was active) uses
+    # it verbatim; records without the flag fall back to the opening
+    # control alone
     if "window_valid" in r:
         is_valid = bool(r["window_valid"])
     else:
